@@ -1,0 +1,118 @@
+"""ctypes loader for the native host-side helper library.
+
+Builds lazily with the system C compiler on first use; all callers have pure
+NumPy fallbacks, so a missing toolchain only costs performance.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "blanczos_native.c")
+_SO = os.path.join(_DIR, "libblanczos_native.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    for cc in ("cc", "gcc", "clang"):
+        try:
+            r = subprocess.run(
+                [cc, "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
+                capture_output=True, timeout=120)
+            if r.returncode == 0:
+                return True
+        except (OSError, subprocess.TimeoutExpired):
+            continue
+    return False
+
+
+def get_lib():
+    """Return the loaded ctypes library, or None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) or (
+                os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        lib.xoshiro_fill_mod.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64]
+        lib.xoshiro_fill_mod.restype = None
+        lib.parse_triplets_mod.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_uint64]
+        lib.parse_triplets_mod.restype = ctypes.c_int64
+        lib.coo_to_csr.argtypes = [
+            ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint32)]
+        lib.coo_to_csr.restype = None
+        _lib = lib
+        return _lib
+
+
+def _ptr(arr, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def xoshiro_fill_mod(state: np.ndarray, prime: int, count: int):
+    """Native xoshiro256+ fill; returns None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty(count, np.uint32)
+    lib.xoshiro_fill_mod(_ptr(state, ctypes.c_uint64), prime,
+                         _ptr(out, ctypes.c_uint32), count)
+    return out
+
+
+def parse_triplets_mod(buf: bytes, nnz: int, prime: int):
+    lib = get_lib()
+    if lib is None:
+        return None
+    mi = np.empty(nnz, np.int32)
+    mj = np.empty(nnz, np.int32)
+    mx = np.empty(nnz, np.uint32)
+    got = lib.parse_triplets_mod(buf, len(buf), nnz,
+                                 _ptr(mi, ctypes.c_int32),
+                                 _ptr(mj, ctypes.c_int32),
+                                 _ptr(mx, ctypes.c_uint32), prime)
+    if got != nnz:
+        raise ValueError(f"parse error: expected {nnz} triplets, got {got}")
+    return mi, mj, mx
+
+
+def coo_to_csr(nrows: int, mi, mj, mx):
+    lib = get_lib()
+    if lib is None:
+        return None
+    nnz = len(mi)
+    mi = np.ascontiguousarray(mi, np.int32)
+    mj = np.ascontiguousarray(mj, np.int32)
+    mx = np.ascontiguousarray(mx, np.uint32)
+    rowptr = np.empty(nrows + 1, np.int64)
+    cols = np.empty(nnz, np.int32)
+    vals = np.empty(nnz, np.uint32)
+    lib.coo_to_csr(nnz, nrows, _ptr(mi, ctypes.c_int32),
+                   _ptr(mj, ctypes.c_int32), _ptr(mx, ctypes.c_uint32),
+                   _ptr(rowptr, ctypes.c_int64), _ptr(cols, ctypes.c_int32),
+                   _ptr(vals, ctypes.c_uint32))
+    return rowptr, cols, vals

@@ -1,0 +1,111 @@
+/*
+ * Native host-side helpers for block_lanczos_tpu (loaded via ctypes).
+ *
+ * The TPU compute path is JAX/XLA/Pallas; this C library covers the
+ * host-side runtime the reference implements in C: fast MatrixMarket triplet
+ * parsing (reference: sequential/lanczos_modp.c:199-263), the xoshiro256+
+ * PRNG used for the deterministic initial block (reference:
+ * sequential/lanczos_modp.c:67-87, :624-625), and COO->CSR conversion
+ * (counting sort by row).  Everything here has a pure-NumPy fallback in
+ * Python; this library is a performance fast path, not a requirement.
+ *
+ * Build: cc -O3 -shared -fPIC -o libblanczos_native.so blanczos_native.c
+ */
+
+#include <stdint.h>
+#include <stddef.h>
+#include <string.h>
+
+typedef uint64_t u64;
+typedef uint32_t u32;
+typedef int32_t i32;
+typedef int64_t i64;
+
+/* ------------------------- xoshiro256+ ---------------------------------- */
+
+static inline u64 rotl(u64 x, int k) { return (x << k) | (x >> (64 - k)); }
+
+/* Advance the generator `count` times, writing random64() % prime each step.
+ * State is updated in place so successive calls continue the stream,
+ * matching the reference's single global generator. */
+void xoshiro_fill_mod(u64 *s, u64 prime, u32 *out, i64 count)
+{
+    for (i64 n = 0; n < count; n++) {
+        u64 result = rotl(s[0] + s[3], 23) + s[0];
+        u64 t = s[1] << 17;
+        s[2] ^= s[0];
+        s[3] ^= s[1];
+        s[1] ^= s[2];
+        s[0] ^= s[3];
+        s[2] ^= t;
+        s[3] = rotl(s[3], 45);
+        out[n] = (u32)(result % prime);
+    }
+}
+
+/* ------------------------- triplet parsing ------------------------------ */
+
+/* Parse `nnz` whitespace-separated "i j x" integer triplets from buf.
+ * Writes 0-based row/col indices and the coefficient reduced mod prime.
+ * A negative x is first cast to uint32 (two's complement) and then reduced,
+ * reproducing the reference's fscanf("%d", (u32*)&x); x % prime semantics.
+ * Returns the number of triplets parsed (== nnz on success). */
+i64 parse_triplets_mod(const char *buf, i64 len, i64 nnz,
+                       i32 *mi, i32 *mj, u32 *mx, u64 prime)
+{
+    const char *ptr = buf;
+    const char *end = buf + len;
+    for (i64 u = 0; u < nnz; u++) {
+        i64 vals[3];
+        for (int k = 0; k < 3; k++) {
+            while (ptr < end && (*ptr == ' ' || *ptr == '\t' ||
+                                 *ptr == '\n' || *ptr == '\r'))
+                ptr++;
+            if (ptr >= end)
+                return u;
+            int neg = 0;
+            if (*ptr == '+') ptr++;
+            else if (*ptr == '-') { neg = 1; ptr++; }
+            i64 v = 0;
+            int digits = 0;
+            while (ptr < end && *ptr >= '0' && *ptr <= '9') {
+                v = v * 10 + (*ptr - '0');
+                ptr++;
+                digits++;
+            }
+            if (!digits)
+                return u;
+            vals[k] = neg ? -v : v;
+        }
+        mi[u] = (i32)(vals[0] - 1);  /* MatrixMarket is 1-based */
+        mj[u] = (i32)(vals[1] - 1);
+        mx[u] = (u32)(((u64)(u32)vals[2]) % prime);
+    }
+    return nnz;
+}
+
+/* ------------------------- COO -> CSR (counting sort) ------------------- */
+
+/* Stable counting sort of COO triplets by row.  rowptr has nrows+1 entries.
+ * Outputs (cols, vals) permuted row-major; within a row the original file
+ * order is preserved (stability matters only for reproducible layouts). */
+void coo_to_csr(i64 nnz, i32 nrows,
+                const i32 *mi, const i32 *mj, const u32 *mx,
+                i64 *rowptr, i32 *cols, u32 *vals)
+{
+    memset(rowptr, 0, (size_t)(nrows + 1) * sizeof(i64));
+    for (i64 k = 0; k < nnz; k++)
+        rowptr[mi[k] + 1]++;
+    for (i32 r = 0; r < nrows; r++)
+        rowptr[r + 1] += rowptr[r];
+    /* temp cursor array: reuse a scan over rowptr copy */
+    for (i64 k = 0; k < nnz; k++) {
+        i64 dst = rowptr[mi[k]]++;
+        cols[dst] = mj[k];
+        vals[dst] = mx[k];
+    }
+    /* restore rowptr (shift back) */
+    for (i32 r = nrows; r > 0; r--)
+        rowptr[r] = rowptr[r - 1];
+    rowptr[0] = 0;
+}
