@@ -147,6 +147,9 @@ def iter_mtx_triplets(path: str, chunk: int = 1 << 20):
                 leftover = head + leftover
                 continue
             arr = np.array(toks[:3 * take], dtype=np.int64).reshape(take, 3)
+            extra = toks[3 * take:]  # tokens not forming a full triplet yet
+            if extra:
+                leftover = b" ".join(extra) + b" " + leftover
             yield arr[:, 0] - 1, arr[:, 1] - 1, arr[:, 2]
             remaining -= take
         # nnz == 0 files yield nothing
