@@ -1,0 +1,182 @@
+"""Sparse matrix-times-vector-block (SpMM) over GF(p) on TPU.
+
+The reference's hot loop (62% of runtime) is a COO scatter with a `% prime`
+after every FMA (reference: sequential/lanczos_modp.c:266-287).  The TPU
+formulation instead:
+
+  * stores the matrix twice, row-sorted and column-sorted, so both y = M*x
+    and y = M^T*x are gather + segment-sum over *sorted* output ids,
+  * keeps coefficients pre-converted to the Montgomery domain at load time,
+    so each product is ONE mont_mul (exact, no divide),
+  * defers reduction: products < p < 2^30 are split into 15-bit limbs and
+    accumulated with plain uint32 adds (the TPU analogue of the reference's
+    "accumulate in u64, reduce once" OpenMP optimization,
+    reference: openMP/lanczos_modp.c:329-374) — overflow-safe by
+    construction for segments up to 2^17 elements,
+  * chunks the nnz axis with lax.scan so the temporary (chunk, n) product
+    block stays small and every segment-within-chunk respects the limb bound.
+
+All shapes are static; the nnz axis is padded to a multiple of the chunk
+size with zero-valued entries (additive identity).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from block_lanczos_tpu import native
+from block_lanczos_tpu.ops import gfp
+from block_lanczos_tpu.ops.gfp import GFp, u32
+from block_lanczos_tpu.utils.mmio import COOMatrix
+
+# Max entries per scan chunk == max segment length inside one segment-sum.
+# Must be <= gfp.LIMB_SUM_MAX.
+DEFAULT_CHUNK = 1 << 17
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class SparseOp:
+    """One direction of a sparse operator: y[out] += val * x[in].
+
+    Entries are sorted by out_idx; val_mont is in the Montgomery domain
+    (val * R mod p) so mont_mul(val_mont, x) == val * x mod p exactly.
+    """
+    out_dim: int
+    in_dim: int
+    nnz: int          # true nnz (before padding)
+    chunk: int
+    out_idx: jax.Array  # (padded_nnz,) int32, sorted
+    in_idx: jax.Array   # (padded_nnz,) int32
+    val_mont: jax.Array  # (padded_nnz,) uint32
+
+    def tree_flatten(self):
+        return ((self.out_idx, self.in_idx, self.val_mont),
+                (self.out_dim, self.in_dim, self.nnz, self.chunk))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        out_idx, in_idx, val_mont = children
+        out_dim, in_dim, nnz, chunk = aux
+        return cls(out_dim, in_dim, nnz, chunk, out_idx, in_idx, val_mont)
+
+
+def _sort_by(key_idx, other_idx, vals, key_dim):
+    """Stable counting sort by key_idx; native fast path, NumPy fallback."""
+    out = native.coo_to_csr(key_dim, key_idx, other_idx, vals)
+    if out is not None:
+        _, other_sorted, vals_sorted = out
+        key_sorted = np.repeat(
+            np.arange(key_dim, dtype=np.int32), np.diff(out[0]))
+        return key_sorted, other_sorted, vals_sorted
+    order = np.argsort(key_idx, kind="stable")
+    return (np.asarray(key_idx, np.int32)[order],
+            np.asarray(other_idx, np.int32)[order],
+            np.asarray(vals, np.uint32)[order])
+
+
+def make_sparse_op(f: GFp, out_idx, in_idx, vals, out_dim: int, in_dim: int,
+                   chunk: int = DEFAULT_CHUNK, sort: bool = True) -> SparseOp:
+    """Build a device SparseOp from host COO arrays (values in [0, p))."""
+    assert chunk <= gfp.LIMB_SUM_MAX
+    out_idx = np.asarray(out_idx, np.int32)
+    in_idx = np.asarray(in_idx, np.int32)
+    vals = np.asarray(vals, np.uint32)
+    if sort:
+        out_idx, in_idx, vals = _sort_by(out_idx, in_idx, vals, out_dim)
+    nnz = len(vals)
+    if f.use_mont:  # val * R mod p (fits u64: val < 2^30, R = 2^32)
+        vm = ((vals.astype(np.uint64) << 32) % np.uint64(f.p)).astype(np.uint32)
+    else:
+        vm = vals % np.uint32(f.p)
+    pad = (-nnz) % chunk if nnz else chunk
+    if pad:
+        # zero-valued padding entries scatter 0; pad out_idx with the last
+        # (max) id so the array stays sorted for indices_are_sorted=True
+        last = out_idx[-1] if nnz else np.int32(0)
+        out_idx = np.concatenate([out_idx, np.full(pad, last, np.int32)])
+        in_idx = np.concatenate([in_idx, np.zeros(pad, np.int32)])
+        vm = np.concatenate([vm, np.zeros(pad, np.uint32)])
+    return SparseOp(out_dim=out_dim, in_dim=in_dim, nnz=nnz, chunk=chunk,
+                    out_idx=jnp.asarray(out_idx), in_idx=jnp.asarray(in_idx),
+                    val_mont=jnp.asarray(vm))
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class SpMatrix:
+    """A sparse matrix with both application directions resident on device."""
+    nrows: int
+    ncols: int
+    nnz: int
+    fwd: SparseOp  # y (nrows) = M  * x (ncols)
+    bwd: SparseOp  # y (ncols) = M^T * x (nrows)
+
+    def tree_flatten(self):
+        return ((self.fwd, self.bwd), (self.nrows, self.ncols, self.nnz))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        fwd, bwd = children
+        nrows, ncols, nnz = aux
+        return cls(nrows, ncols, nnz, fwd, bwd)
+
+    @staticmethod
+    def from_coo(f: GFp, M: COOMatrix, chunk: int = DEFAULT_CHUNK) -> "SpMatrix":
+        fwd = make_sparse_op(f, M.i, M.j, M.x, M.nrows, M.ncols, chunk)
+        bwd = make_sparse_op(f, M.j, M.i, M.x, M.ncols, M.nrows, chunk)
+        return SpMatrix(M.nrows, M.ncols, M.nnz, fwd, bwd)
+
+
+def spmv_block(f: GFp, op: SparseOp, x, out_rows: int | None = None):
+    """y = op * x exactly mod p.
+
+    x: (in_pad, n) uint32 with in_pad >= op.in_dim; returns (out_rows, n)
+    with out_rows >= op.out_dim (default op.out_dim); rows beyond the true
+    output dimension are zero, matching the reference's zero-padded blocks.
+    """
+    if out_rows is None:
+        out_rows = op.out_dim
+    n = x.shape[1]
+    padded_nnz = op.out_idx.shape[0]
+    nchunks = padded_nnz // op.chunk
+
+    def one_chunk(oi, ii, vm):
+        prod = gfp.mont_mul(f, vm[:, None], x[ii])        # (chunk, n), < p
+        hi, lo = gfp.limb_split(prod)
+        hi_s = jax.ops.segment_sum(hi, oi, num_segments=out_rows,
+                                   indices_are_sorted=True)
+        lo_s = jax.ops.segment_sum(lo, oi, num_segments=out_rows,
+                                   indices_are_sorted=True)
+        return hi_s, lo_s
+
+    if nchunks == 1:
+        hi_s, lo_s = one_chunk(op.out_idx, op.in_idx, op.val_mont)
+        return gfp.limb_combine(f, hi_s, lo_s)
+
+    def body(y, chunk):
+        oi, ii, vm = chunk
+        hi_s, lo_s = one_chunk(oi, ii, vm)
+        return gfp.modadd(f, y, gfp.limb_combine(f, hi_s, lo_s)), None
+
+    chunks = (op.out_idx.reshape(nchunks, op.chunk),
+              op.in_idx.reshape(nchunks, op.chunk),
+              op.val_mont.reshape(nchunks, op.chunk))
+    y0 = jnp.zeros((out_rows, n), u32)
+    y, _ = jax.lax.scan(body, y0, chunks)
+    return y
+
+
+def spmv_reference_np(p: int, nrows, i, j, x, v):
+    """Host oracle: y[i] += x*v[j] mod p with exact object/int64 arithmetic."""
+    n = v.shape[1]
+    y = np.zeros((nrows, n), np.uint64)
+    np_p = np.uint64(p)
+    for k in range(len(x)):  # slow; tests only
+        y[i[k]] = (y[i[k]] + np.uint64(x[k]) * v[j[k]].astype(np.uint64)) % np_p
+    return y.astype(np.uint32)

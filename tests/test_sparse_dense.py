@@ -1,0 +1,161 @@
+"""Tests for SpMM, dense block ops, and the semi-inverse (host + device)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from block_lanczos_tpu.ops import dense, gfp, semi_inverse, spmm
+from block_lanczos_tpu.ops.gfp import GFp
+
+PRIMES = [2, 65537, 1073741789]
+
+
+def rand_coo(rng, nrows, ncols, nnz, p):
+    i = rng.integers(0, nrows, nnz).astype(np.int32)
+    j = rng.integers(0, ncols, nnz).astype(np.int32)
+    x = rng.integers(0, p, nnz, dtype=np.uint64).astype(np.uint32)
+    return i, j, x
+
+
+@pytest.mark.parametrize("p", PRIMES)
+@pytest.mark.parametrize("n", [1, 4])
+def test_spmv_block(rng, p, n):
+    f = GFp.make(p)
+    nrows, ncols, nnz = 50, 37, 400
+    i, j, x = rand_coo(rng, nrows, ncols, nnz, p)
+    op = spmm.make_sparse_op(f, i, j, x, nrows, ncols)
+    v = rng.integers(0, p, (ncols, n), dtype=np.uint64).astype(np.uint32)
+    got = np.asarray(spmm.spmv_block(f, op, jnp.asarray(v)))
+    want = spmm.spmv_reference_np(p, nrows, i, j, x, v)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("p", [1073741789])
+def test_spmv_block_chunked(rng, p):
+    """nnz much larger than the chunk exercises the scan accumulation."""
+    f = GFp.make(p)
+    nrows, ncols, n = 40, 30, 2
+    nnz = 5000
+    i, j, x = rand_coo(rng, nrows, ncols, nnz, p)
+    op = spmm.make_sparse_op(f, i, j, x, nrows, ncols, chunk=512)
+    v = rng.integers(0, p, (ncols, n), dtype=np.uint64).astype(np.uint32)
+    got = np.asarray(spmm.spmv_block(f, op, jnp.asarray(v)))
+    want = spmm.spmv_reference_np(p, nrows, i, j, x, v)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("p", [1073741789])
+def test_spmv_padded_output(rng, p):
+    f = GFp.make(p)
+    i, j, x = rand_coo(rng, 20, 20, 100, p)
+    op = spmm.make_sparse_op(f, i, j, x, 20, 20)
+    v = rng.integers(0, p, (20, 3), dtype=np.uint64).astype(np.uint32)
+    got = np.asarray(spmm.spmv_block(f, op, jnp.asarray(v), out_rows=32))
+    want = spmm.spmv_reference_np(p, 20, i, j, x, v)
+    np.testing.assert_array_equal(got[:20], want)
+    assert (got[20:] == 0).all()
+
+
+def test_spmatrix_transpose(rng):
+    p = 65537
+    f = GFp.make(p)
+    from block_lanczos_tpu.utils.mmio import COOMatrix
+    i, j, x = rand_coo(rng, 25, 33, 200, p)
+    M = COOMatrix(25, 33, 200, i, j, x, p)
+    sp = spmm.SpMatrix.from_coo(f, M)
+    v = rng.integers(0, p, (25, 2), dtype=np.uint64).astype(np.uint32)
+    got = np.asarray(spmm.spmv_block(f, sp.bwd, jnp.asarray(v)))
+    want = spmm.spmv_reference_np(p, 33, j, i, x, v)  # transposed
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("p", PRIMES)
+@pytest.mark.parametrize("shape", [(100, 4, 4), (65, 8, 3)])
+def test_matmul_mod(rng, p, shape):
+    f = GFp.make(p)
+    N, k, m = shape
+    X = rng.integers(0, p, (N, k), dtype=np.uint64).astype(np.uint32)
+    B = rng.integers(0, p, (k, m), dtype=np.uint64).astype(np.uint32)
+    got = np.asarray(dense.matmul_mod(f, jnp.asarray(X), jnp.asarray(B)))
+    np.testing.assert_array_equal(got, gfp.np_matmul_mod(p, X, B))
+
+
+@pytest.mark.parametrize("p", PRIMES)
+@pytest.mark.parametrize("N", [10, 3000])
+def test_gram_mod(rng, p, N):
+    f = GFp.make(p)
+    V = rng.integers(0, p, (N, 4), dtype=np.uint64).astype(np.uint32)
+    W = rng.integers(0, p, (N, 5), dtype=np.uint64).astype(np.uint32)
+    got = np.asarray(dense.gram_mod(f, jnp.asarray(V), jnp.asarray(W)))
+    np.testing.assert_array_equal(got, gfp.np_matmul_mod(p, V.T, W))
+
+
+def test_gram_mod_chunked(rng, monkeypatch):
+    p = 1073741789
+    f = GFp.make(p)
+    monkeypatch.setattr(dense, "_gram_chunk_rows", lambda s: 256)
+    V = rng.integers(0, p, (1000, 3), dtype=np.uint64).astype(np.uint32)
+    got = np.asarray(dense.gram_mod(f, jnp.asarray(V), jnp.asarray(V)))
+    np.testing.assert_array_equal(got, gfp.np_matmul_mod(p, V.T, V))
+
+
+# ---------------------------------------------------------------------------
+# semi-inverse
+# ---------------------------------------------------------------------------
+
+def check_semi_inverse(p, U, winv, d, npiv):
+    """The defining contract: d*W == W*d == W and d == W*U*d."""
+    n = U.shape[0]
+    D = np.diag(d.astype(np.uint64)).astype(np.uint32)
+    WU = gfp.np_matmul_mod(p, winv, U)
+    WUd = gfp.np_matmul_mod(p, WU, D)
+    np.testing.assert_array_equal(WUd, D)
+    np.testing.assert_array_equal(gfp.np_matmul_mod(p, D, winv), winv)
+    np.testing.assert_array_equal(gfp.np_matmul_mod(p, winv, D), winv)
+    assert npiv == int(d.sum())
+
+
+@pytest.mark.parametrize("p", [2, 3, 65537, 1073741789])
+@pytest.mark.parametrize("n", [1, 2, 4, 8])
+def test_semi_inverse_np_random(rng, p, n):
+    for trial in range(8):
+        # symmetric random Gram-like matrices (vtAv is symmetric)
+        A = rng.integers(0, p, (n, n), dtype=np.uint64)
+        U = ((A + A.T) % p).astype(np.uint32)
+        winv, d, npiv = semi_inverse.semi_inverse_np(p, U)
+        check_semi_inverse(p, U, winv, d, npiv)
+
+
+@pytest.mark.parametrize("p", [65537, 1073741789])
+@pytest.mark.parametrize("n", [4])
+def test_semi_inverse_np_singular(rng, p, n):
+    # rank-1 symmetric matrix: must find < n pivots and still satisfy contract
+    a = rng.integers(0, p, (n, 1), dtype=np.uint64)
+    U = ((a @ a.T) % p).astype(np.uint32)
+    winv, d, npiv = semi_inverse.semi_inverse_np(p, U)
+    assert 0 < npiv < n
+    check_semi_inverse(p, U, winv, d, npiv)
+    # zero matrix: 0 pivots (the Lanczos stop condition)
+    winv, d, npiv = semi_inverse.semi_inverse_np(p, np.zeros((n, n), np.uint32))
+    assert npiv == 0 and (d == 0).all()
+
+
+@pytest.mark.parametrize("p", [2, 3, 65537, 1073741789])
+@pytest.mark.parametrize("n", [1, 4, 8])
+def test_semi_inverse_device_matches_np(rng, p, n):
+    f = GFp.make(p)
+    dev = jax.jit(lambda U: semi_inverse.semi_inverse_device(f, U))
+    for trial in range(6):
+        A = rng.integers(0, p, (n, n), dtype=np.uint64)
+        U = ((A + A.T) % p).astype(np.uint32)
+        if trial == 0:
+            U = np.zeros_like(U)
+        if trial == 1:
+            a = rng.integers(0, p, (n, 1), dtype=np.uint64)
+            U = ((a @ a.T) % p).astype(np.uint32)
+        w_np, d_np, npiv_np = semi_inverse.semi_inverse_np(p, U)
+        w_d, d_d, npiv_d = dev(jnp.asarray(U))
+        np.testing.assert_array_equal(np.asarray(w_d), w_np)
+        np.testing.assert_array_equal(np.asarray(d_d), d_np)
+        assert int(npiv_d) == npiv_np
