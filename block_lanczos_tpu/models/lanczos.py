@@ -1,0 +1,223 @@
+"""The block Lanczos solver (Thome's "fewer vectors" variant) on TPU.
+
+Computes a block of kernel vectors of x*M == 0 (mod p) — or M*x == 0 with
+right=True — reproducing the reference driver's semantics bit-for-bit
+(reference: sequential/lanczos_modp.c:585-669):
+
+    v0 <- xoshiro256+ fixed seed (row-major over nrows*n entries)
+    loop:  tmp  = Mt*v ; Av = M*tmp            (A = M*Mt implicitly)
+           vtAv = v^T*Av ; vtAAv = Av^T*Av
+           winv, d <- semi_inverse(vtAv);  stop if 0 pivots
+           v, p <- orthogonalize recurrence
+    final_check: v != 0 and v^T*M == 0
+
+TPU-first design decisions (vs the reference's root-centric imperative loop):
+  * the ENTIRE iteration — two SpMVs, both Gram products, the semi-inverse,
+    and the orthogonalize update — is one jitted function; the only
+    device->host traffic per iteration is the stop flag (plus the n x n
+    mats when invariant checking is on),
+  * all state is functional (donated buffers, no aliasing dance with tmp),
+  * padded shapes are static and zero-padded; zeros are preserved by every
+    phase so padding never perturbs the math (mirrors the reference's
+    block_size_pad zero-fill, sequential/lanczos_modp.c:594-622).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from block_lanczos_tpu.ops import dense, gfp, spmm
+from block_lanczos_tpu.ops.gfp import GFp, u32
+from block_lanczos_tpu.ops.semi_inverse import semi_inverse_device, semi_inverse_np
+from block_lanczos_tpu.ops.spmm import SparseOp, SpMatrix
+from block_lanczos_tpu.utils.mmio import COOMatrix
+from block_lanczos_tpu.utils.rng import Xoshiro256Plus
+
+
+def pad_rows(dim: int, multiple: int) -> int:
+    return ((dim + multiple - 1) // multiple) * multiple
+
+
+# ---------------------------------------------------------------------------
+# Device-side phases
+# ---------------------------------------------------------------------------
+
+def orthogonalize_device(f: GFp, v, Av, p_blk, d, vtAv, vtAAv, winv):
+    """One step of the Thome recurrence (reference: lanczos_modp.c:456-492).
+
+    v, Av, p_blk: (Np, n); d: (n,) 0/1; the small mats: (n, n).
+    Returns (v_next, p_next).  Zero padding rows stay zero.
+    """
+    dmask = d.astype(bool)[None, :]          # column mask
+    spliced = jnp.where(dmask, vtAAv, vtAv)
+    c = gfp.modneg(f, dense.matmul_nn_mod(f, winv, spliced))
+    vtAvd = jnp.where(dmask, gfp.modneg(f, vtAv), u32(0))
+
+    v_next = jnp.where(dmask, Av, v)
+    v_next = gfp.modadd(f, v_next, dense.matmul_mod(f, v, c))
+    v_next = gfp.modadd(f, v_next, dense.matmul_mod(f, p_blk, vtAvd))
+
+    p_next = jnp.where(dmask, u32(0), p_blk)
+    p_next = gfp.modadd(f, p_next, dense.matmul_mod(f, v, winv))
+    return v_next, p_next
+
+
+def iteration_step(f: GFp, first_op: SparseOp, second_op: SparseOp,
+                   mp_rows: int, np_rows: int, v, p_blk):
+    """One full Lanczos iteration on device.
+
+    first_op:  v (Np) -> tmp (Mp)   [Mt for left kernel, M for right]
+    second_op: tmp (Mp) -> Av (Np)
+    Returns (v_next, p_next, tmp, Av, vtAv, vtAAv, winv, d, stop).
+    """
+    tmp = spmm.spmv_block(f, first_op, v, out_rows=mp_rows)
+    Av = spmm.spmv_block(f, second_op, tmp, out_rows=np_rows)
+    vtAv = dense.gram_mod(f, v, Av)
+    vtAAv = dense.gram_mod(f, Av, Av)
+    winv, d, npiv = semi_inverse_device(f, vtAv)
+    stop = npiv == 0
+    v_next, p_next = orthogonalize_device(f, v, Av, p_blk, d, vtAv, vtAAv, winv)
+    # On stop the converged block is the PRE-update v (the reference breaks
+    # before orthogonalize, lanczos_modp.c:649-652); selecting here keeps
+    # the inputs donatable.
+    v_out = jnp.where(stop, v, v_next)
+    p_out = jnp.where(stop, p_blk, p_next)
+    return v_out, p_out, tmp, Av, vtAv, vtAAv, winv, d, stop
+
+
+# ---------------------------------------------------------------------------
+# Host-side invariant checks (reference: lanczos_modp.c:532-582)
+# ---------------------------------------------------------------------------
+
+def check_invariants(p: int, vtAv, vtAAv, winv, d):
+    """Per-iteration algebraic asserts ("disable in production")."""
+    vtAv, vtAAv, winv, d = (np.asarray(a) for a in (vtAv, vtAAv, winv, d))
+    assert (vtAv == vtAv.T).all(), "vtAv not symmetric"
+    assert (vtAAv == vtAAv.T).all(), "vtAAv not symmetric"
+    assert (winv == winv.T).all(), "winv not symmetric"
+    dd = d.astype(bool)
+    support_ok = (winv == 0) | dd[:, None] | dd[None, :]
+    assert support_ok.all(), "winv support does not match d"
+    vtAvd = np.where(dd[None, :], vtAv, 0).astype(np.uint32)
+    check = gfp.np_matmul_mod(p, winv, vtAvd)
+    assert (np.diag(check) == d).all() and \
+        (check[~np.eye(len(d), dtype=bool)] == 0).all(), \
+        "winv * (vtAv*d) != diag(d)"
+
+
+def final_check(v, vtM, n_rows: int, m_rows: int, verbose: bool = True):
+    """End-of-run self check: v != 0 and v^T*M == 0."""
+    v = np.asarray(v)[:n_rows]
+    vtM = np.asarray(vtM)[:m_rows]
+    v_nonzero = bool((v != 0).any())
+    product_zero = bool((vtM == 0).all())
+    if verbose:
+        print("Final check:")
+        print(f"  - {'OK:    v != 0' if v_nonzero else 'KO:    v == 0'}")
+        print(f"  - {'OK: vt*M == 0' if product_zero else 'KO: vt*M != 0'}")
+    return v_nonzero, product_zero
+
+
+# ---------------------------------------------------------------------------
+# Solver driver
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class SolveResult:
+    kernel: np.ndarray          # (N_eff, n) uint32 — the block of vectors
+    iterations: int
+    v_nonzero: bool | None      # final-check outcomes (None if stopped early)
+    product_zero: bool | None
+    elapsed: float
+    stopped_by_limit: bool
+
+
+class BlockLanczos:
+    """Single-device solver.  For multi-chip, see parallel.distributed."""
+
+    def __init__(self, M: COOMatrix, n: int = 1, right: bool = False,
+                 pad_multiple: int = 8, check_invariants: bool = True,
+                 seed=None):
+        self.f = GFp.make(M.prime)
+        self.n = int(n)
+        self.right = bool(right)
+        self.check_invariants = check_invariants
+        self.sp = SpMatrix.from_coo(self.f, M)
+        # effective dimensions: the kernel vector lives on N_eff
+        self.n_eff = M.ncols if right else M.nrows
+        self.m_eff = M.nrows if right else M.ncols
+        self.first_op = self.sp.fwd if right else self.sp.bwd
+        self.second_op = self.sp.bwd if right else self.sp.fwd
+        self.np_rows = pad_rows(self.n_eff, pad_multiple)
+        self.mp_rows = pad_rows(self.m_eff, pad_multiple)
+        self.expected_iterations = 1 + self.m_eff // self.n
+        self._rng = Xoshiro256Plus() if seed is None else Xoshiro256Plus(seed)
+
+        self._step = jax.jit(
+            partial(iteration_step, self.f, self.first_op, self.second_op,
+                    self.mp_rows, self.np_rows),
+            donate_argnums=(0, 1))
+
+    def initial_block(self) -> jnp.ndarray:
+        """v0: xoshiro row-major over n_eff*n entries, zero-padded."""
+        block = self._rng.fill_mod(self.n_eff * self.n, self.f.p)
+        v0 = np.zeros((self.np_rows, self.n), np.uint32)
+        v0[:self.n_eff] = block.reshape(self.n_eff, self.n)
+        return jnp.asarray(v0)
+
+    def solve(self, stop_after: int = -1, verbose: bool = False,
+              on_iteration: Callable | None = None,
+              resume_state: dict | None = None) -> SolveResult:
+        f = self.f
+        if resume_state is None:
+            v = self.initial_block()
+            p_blk = jnp.zeros((self.np_rows, self.n), u32)
+            start_iter = 0
+        else:
+            v = jnp.asarray(resume_state["v"])
+            p_blk = jnp.asarray(resume_state["p"])
+            start_iter = int(resume_state["iteration"])
+        if verbose:
+            print("Block Lanczos")
+            print(f"  - Expecting {self.expected_iterations} iterations")
+            print("  - Main loop")
+
+        start = time.time()
+        n_iterations = start_iter
+        tmp = Av = None
+        stopped_by_limit = False
+        while True:
+            if 0 < stop_after == n_iterations:
+                stopped_by_limit = True
+                break
+            v, p_blk, tmp, Av, vtAv, vtAAv, winv, d, stop = \
+                self._step(v, p_blk)
+            if self.check_invariants:
+                check_invariants(f.p, vtAv, vtAAv, winv, d)
+            if bool(stop):
+                # v already holds the pre-update (converged) block
+                break
+            n_iterations += 1
+            if on_iteration is not None:
+                on_iteration(self, n_iterations, v, p_blk, start)
+
+        elapsed = time.time() - start
+        v_host = np.asarray(v)
+        v_nonzero = product_zero = None
+        if not stopped_by_limit:
+            v_nonzero, product_zero = final_check(
+                v_host, tmp, self.n_eff, self.m_eff, verbose)
+        if verbose:
+            print(f"  - Terminated in {elapsed:.1f}s after "
+                  f"{n_iterations} iterations")
+        return SolveResult(kernel=v_host[:self.n_eff],
+                           iterations=n_iterations,
+                           v_nonzero=v_nonzero, product_zero=product_zero,
+                           elapsed=elapsed, stopped_by_limit=stopped_by_limit)
