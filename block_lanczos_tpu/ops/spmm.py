@@ -80,9 +80,15 @@ def _sort_by(key_idx, other_idx, vals, key_dim):
             np.asarray(vals, np.uint32)[order])
 
 
-def make_sparse_op(f: GFp, out_idx, in_idx, vals, out_dim: int, in_dim: int,
-                   chunk: int = DEFAULT_CHUNK, sort: bool = True) -> SparseOp:
-    """Build a device SparseOp from host COO arrays (values in [0, p))."""
+def build_op_arrays(f: GFp, out_idx, in_idx, vals, out_dim: int,
+                    chunk: int = DEFAULT_CHUNK, pad_to: int | None = None,
+                    sort: bool = True):
+    """Host-side SparseOp array construction (sort, Montgomery, padding).
+
+    Returns (out_idx, in_idx, val_mont, nnz) as NumPy arrays padded to a
+    multiple of `chunk` (at least `pad_to` entries if given — used to
+    equalize shard shapes for shard_map).
+    """
     assert chunk <= gfp.LIMB_SUM_MAX
     out_idx = np.asarray(out_idx, np.int32)
     in_idx = np.asarray(in_idx, np.int32)
@@ -94,7 +100,9 @@ def make_sparse_op(f: GFp, out_idx, in_idx, vals, out_dim: int, in_dim: int,
         vm = ((vals.astype(np.uint64) << 32) % np.uint64(f.p)).astype(np.uint32)
     else:
         vm = vals % np.uint32(f.p)
-    pad = (-nnz) % chunk if nnz else chunk
+    target = max(nnz, pad_to or 0, 1)
+    target += (-target) % chunk
+    pad = target - nnz
     if pad:
         # zero-valued padding entries scatter 0; pad out_idx with the last
         # (max) id so the array stays sorted for indices_are_sorted=True
@@ -102,8 +110,16 @@ def make_sparse_op(f: GFp, out_idx, in_idx, vals, out_dim: int, in_dim: int,
         out_idx = np.concatenate([out_idx, np.full(pad, last, np.int32)])
         in_idx = np.concatenate([in_idx, np.zeros(pad, np.int32)])
         vm = np.concatenate([vm, np.zeros(pad, np.uint32)])
+    return out_idx, in_idx, vm, nnz
+
+
+def make_sparse_op(f: GFp, out_idx, in_idx, vals, out_dim: int, in_dim: int,
+                   chunk: int = DEFAULT_CHUNK, sort: bool = True) -> SparseOp:
+    """Build a device SparseOp from host COO arrays (values in [0, p))."""
+    oi, ii, vm, nnz = build_op_arrays(f, out_idx, in_idx, vals, out_dim,
+                                      chunk=chunk, sort=sort)
     return SparseOp(out_dim=out_dim, in_dim=in_dim, nnz=nnz, chunk=chunk,
-                    out_idx=jnp.asarray(out_idx), in_idx=jnp.asarray(in_idx),
+                    out_idx=jnp.asarray(oi), in_idx=jnp.asarray(ii),
                     val_mont=jnp.asarray(vm))
 
 

@@ -1,0 +1,161 @@
+"""Multi-chip sharded block Lanczos via shard_map over a device mesh.
+
+Replaces the reference's entire MPI layer (mpi/lanczos_modp.c:505-1409) with
+a stateless SPMD design:
+
+  * data stays sharded on device between iterations — there is NO root rank
+    and NO per-iteration re-scatter (the reference's root re-sends v, Av, p
+    slices every iteration: mpi/lanczos_modp.c:1152-1286),
+  * the two SpMV reductions and two Gram reductions are exact limb-split
+    psums over the mesh axis (see parallel.collectives),
+  * the tiny semi-inverse is computed redundantly on every device from the
+    replicated Gram matrix — deterministic, so all devices agree on d/winv
+    and the stop flag (the reference does the same on every rank:
+    mpi/lanczos_modp.c:1764),
+  * the whole iteration is ONE jitted shard_map program; per-iteration
+    host traffic is the replicated stop flag only.
+
+Bit-exactness holds for ANY mesh size because mod-p addition is associative
+and commutative and every reduction is exact (SURVEY.md section 2,
+"TPU-native equivalent").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from block_lanczos_tpu.models import lanczos as single
+from block_lanczos_tpu.models.lanczos import SolveResult
+from block_lanczos_tpu.ops import dense, gfp, spmm
+from block_lanczos_tpu.ops.gfp import GFp, u32
+from block_lanczos_tpu.ops.semi_inverse import semi_inverse_device
+from block_lanczos_tpu.parallel import sharding as shard_lib
+from block_lanczos_tpu.parallel.collectives import psum_mod
+from block_lanczos_tpu.utils.mmio import COOMatrix
+from block_lanczos_tpu.utils.rng import Xoshiro256Plus
+
+
+def _local_step(f: GFp, ops: shard_lib.ShardedOps, axis: str,
+                fo, fi, fv, so, si, sv, v_local, p_local):
+    """Per-device body of one Lanczos iteration (runs under shard_map)."""
+    first = ops.local_first(fo[0], fi[0], fv[0])
+    second = ops.local_second(so[0], si[0], sv[0])
+
+    tmp_partial = spmm.spmv_block(f, first, v_local, out_rows=ops.mp_rows)
+    tmp = psum_mod(f, tmp_partial, axis)                    # replicated
+    Av_local = spmm.spmv_block(f, second, tmp, out_rows=ops.band)
+
+    vtAv = psum_mod(f, dense.gram_mod(f, v_local, Av_local), axis)
+    vtAAv = psum_mod(f, dense.gram_mod(f, Av_local, Av_local), axis)
+
+    winv, d, npiv = semi_inverse_device(f, vtAv)  # redundant on every device
+    stop = npiv == 0
+
+    v_next, p_next = single.orthogonalize_device(
+        f, v_local, Av_local, p_local, d, vtAv, vtAAv, winv)
+    v_out = jnp.where(stop, v_local, v_next)
+    p_out = jnp.where(stop, p_local, p_next)
+    return v_out, p_out, tmp, vtAv, vtAAv, winv, d, stop
+
+
+class ShardedBlockLanczos:
+    """Drop-in multi-device variant of models.BlockLanczos."""
+
+    def __init__(self, M: COOMatrix, n: int = 1, right: bool = False,
+                 mesh: jax.sharding.Mesh | None = None,
+                 pad_multiple: int = 8, check_invariants: bool = True):
+        from block_lanczos_tpu.parallel.mesh import make_mesh
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.axis = self.mesh.axis_names[0]
+        self.f = GFp.make(M.prime)
+        self.n = int(n)
+        self.right = bool(right)
+        self.check_invariants = check_invariants
+        self.ops = shard_lib.partition_matrix(
+            self.f, M, right, self.mesh, pad_multiple=pad_multiple)
+        self.n_eff = self.ops.n_eff
+        self.m_eff = self.ops.m_eff
+        self.np_rows = self.ops.np_rows
+        self.expected_iterations = 1 + self.m_eff // self.n
+        self._rng = Xoshiro256Plus()
+        self._vec_sharding = NamedSharding(self.mesh, P(self.axis, None))
+
+        nnz_spec = P(self.axis)
+        vec_spec = P(self.axis, None)
+        rep2 = P(None, None)
+        body = partial(_local_step, self.f, self.ops, self.axis)
+        smapped = jax.shard_map(
+            body, mesh=self.mesh,
+            in_specs=(nnz_spec,) * 6 + (vec_spec, vec_spec),
+            out_specs=(vec_spec, vec_spec, rep2, rep2, rep2, rep2,
+                       P(None), P()))
+        self._step = jax.jit(smapped, donate_argnums=(6, 7))
+
+    def initial_block(self):
+        """Global v0 from the sequential xoshiro stream, then shard."""
+        block = self._rng.fill_mod(self.n_eff * self.n, self.f.p)
+        v0 = np.zeros((self.np_rows, self.n), np.uint32)
+        v0[:self.n_eff] = block.reshape(self.n_eff, self.n)
+        return jax.device_put(v0, self._vec_sharding)
+
+    def solve(self, stop_after: int = -1, verbose: bool = False,
+              on_iteration: Callable | None = None,
+              resume_state: dict | None = None) -> SolveResult:
+        ops = self.ops
+        if resume_state is None:
+            v = self.initial_block()
+            p_blk = jax.device_put(
+                np.zeros((self.np_rows, self.n), np.uint32),
+                self._vec_sharding)
+            n_iterations = 0
+        else:
+            v = jax.device_put(np.asarray(resume_state["v"]),
+                               self._vec_sharding)
+            p_blk = jax.device_put(np.asarray(resume_state["p"]),
+                                   self._vec_sharding)
+            n_iterations = int(resume_state["iteration"])
+        if verbose:
+            print(f"Block Lanczos [sharded x{ops.n_shards}]")
+            print(f"  - Expecting {self.expected_iterations} iterations")
+            print("  - Main loop")
+
+        args = (ops.first_out, ops.first_in, ops.first_val,
+                ops.second_out, ops.second_in, ops.second_val)
+        start = time.time()
+        tmp = None
+        stopped_by_limit = False
+        while True:
+            if 0 < stop_after == n_iterations:
+                stopped_by_limit = True
+                break
+            v, p_blk, tmp, vtAv, vtAAv, winv, d, stop = \
+                self._step(*args, v, p_blk)
+            if self.check_invariants:
+                single.check_invariants(self.f.p, vtAv, vtAAv, winv, d)
+            if bool(stop):
+                break
+            n_iterations += 1
+            if on_iteration is not None:
+                on_iteration(self, n_iterations, v, p_blk, start)
+
+        elapsed = time.time() - start
+        v_host = np.asarray(jax.device_get(v))
+        v_nonzero = product_zero = None
+        if not stopped_by_limit:
+            v_nonzero, product_zero = single.final_check(
+                v_host, jax.device_get(tmp), self.n_eff, self.m_eff, verbose)
+        if verbose:
+            print(f"  - Terminated in {elapsed:.1f}s after "
+                  f"{n_iterations} iterations")
+        return SolveResult(kernel=v_host[:self.n_eff],
+                           iterations=n_iterations,
+                           v_nonzero=v_nonzero, product_zero=product_zero,
+                           elapsed=elapsed, stopped_by_limit=stopped_by_limit)

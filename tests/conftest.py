@@ -18,6 +18,10 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 import jax  # noqa: E402
 
+# The axon sitecustomize registers the TPU backend programmatically, which
+# beats the env var — force CPU via config (env vars above are belt+braces).
+jax.config.update("jax_platforms", "cpu")
+
 # persistent compilation cache: repeated test runs skip XLA recompiles
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_blanczos")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

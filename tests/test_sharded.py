@@ -1,0 +1,65 @@
+"""Multi-device sharded solver tests on the virtual 8-device CPU mesh.
+
+Bit-exactness must hold for EVERY mesh size (mod-p arithmetic is exact and
+order-independent), mirroring the reference's cross-variant equivalence
+between sequential and MPI runs (SURVEY.md section 4).
+"""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from block_lanczos_tpu.parallel import make_mesh
+from block_lanczos_tpu.parallel.collectives import psum_mod
+from block_lanczos_tpu.parallel.distributed import ShardedBlockLanczos
+from block_lanczos_tpu.ops.gfp import GFp
+from block_lanczos_tpu.utils import checker, mmio
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+
+def load_golden(name):
+    with open(os.path.join(GOLDEN, "MANIFEST.txt")) as fh:
+        for line in fh:
+            nm, prime, n, right = line.split()
+            if nm == name:
+                M = mmio.load_mtx(os.path.join(GOLDEN, f"{nm}.mtx"), int(prime))
+                _, _, ref = mmio.read_array_mtx(
+                    os.path.join(GOLDEN, f"{nm}.kernel.mtx"))
+                return M, ref, int(prime), int(n), right == "True"
+    raise KeyError(name)
+
+
+@pytest.mark.parametrize("n_dev", [1, 2, 8])
+def test_sharded_bit_exact_left(n_dev):
+    M, ref, prime, n, right = load_golden("left_p65537_n4")
+    res = ShardedBlockLanczos(M, n=n, mesh=make_mesh(n_dev)).solve()
+    assert res.v_nonzero and res.product_zero
+    np.testing.assert_array_equal(res.kernel.astype(np.int64), ref)
+
+
+@pytest.mark.parametrize("name", ["right_pbig_n2", "left_pbig_n8_odd_dims"])
+def test_sharded_bit_exact_other_configs(name):
+    M, ref, prime, n, right = load_golden(name)
+    res = ShardedBlockLanczos(M, n=n, right=right, mesh=make_mesh(4)).solve()
+    np.testing.assert_array_equal(res.kernel.astype(np.int64), ref)
+    assert checker.check_kernel_block(
+        os.path.join(GOLDEN, f"{name}.mtx"), res.kernel, prime, right=right)
+
+
+def test_psum_mod_exact():
+    """Limb-split psum == exact modular sum of per-device partials."""
+    p = 1073741789
+    f = GFp.make(p)
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(0)
+    parts = rng.integers(0, p, (8, 16), dtype=np.uint64).astype(np.uint32)
+
+    out = jax.jit(jax.shard_map(
+        lambda x: psum_mod(f, x, "rows"), mesh=mesh,
+        in_specs=jax.sharding.PartitionSpec("rows"),
+        out_specs=jax.sharding.PartitionSpec()))(parts.reshape(8, 16))
+    want = (parts.astype(object).sum(axis=0) % p).astype(np.uint32)
+    np.testing.assert_array_equal(np.asarray(out).reshape(16), want)
