@@ -1,0 +1,129 @@
+"""Solver command-line interface.
+
+Flag-compatible with the reference solver's getopt surface
+(reference: sequential/lanczos_modp.c:124-194 and the MPI variant's
+checkpoint flags, mpi/lanczos_modp.c:156-245):
+
+    lanczos-modp --matrix M.mtx --prime 65537 --n 4 [--output-file K.mtx]
+                 [--right | --left] [--stop-after N]
+                 [--checkpoint [SECONDS]] [--load-checkpoint]
+                 [--checkpoint-dir DIR]
+
+TPU-specific additions: --devices (mesh size; default all), --single
+(force the single-device driver), --no-checks (disable per-iteration
+invariant asserts — the reference's "disable in production").
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from block_lanczos_tpu.ops.gfp import PRIME_CAP
+from block_lanczos_tpu.utils import checkpoint as ckpt
+from block_lanczos_tpu.utils import mmio
+from block_lanczos_tpu.utils.verbosity import VerbosityEngine
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="lanczos-modp",
+        description="block Lanczos kernel vectors of a sparse matrix mod p "
+                    "(TPU-native)")
+    ap.add_argument("--matrix", required=True,
+                    help="MatrixMarket file containing the sparse matrix")
+    ap.add_argument("--prime", required=True, type=int,
+                    help="compute modulo P")
+    ap.add_argument("--n", type=int, default=1,
+                    help="blocking factor [default 1]")
+    ap.add_argument("--output-file",
+                    help="store the block of kernel vectors")
+    ap.add_argument("--right", action="store_true",
+                    help="compute right kernel vectors")
+    ap.add_argument("--left", action="store_true",
+                    help="compute left kernel vectors [default]")
+    ap.add_argument("--stop-after", type=int, default=-1,
+                    help="stop the algorithm after N iterations")
+    ap.add_argument("--checkpoint", nargs="?", const=60.0, type=float,
+                    default=None, metavar="SECONDS",
+                    help="checkpoint every SECONDS seconds [default 60]")
+    ap.add_argument("--load-checkpoint", action="store_true",
+                    help="resume from the checkpoint directory")
+    ap.add_argument("--checkpoint-dir", default="lanczos_checkpoint",
+                    help="checkpoint directory [default lanczos_checkpoint]")
+    ap.add_argument("--devices", type=int, default=None,
+                    help="number of mesh devices [default: all]")
+    ap.add_argument("--single", action="store_true",
+                    help="force the single-device driver")
+    ap.add_argument("--no-checks", action="store_true",
+                    help="disable per-iteration invariant checks")
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.output_file and args.stop_after > 0:
+        print("--stop-after and --output-file are mutually exclusive",
+              file=sys.stderr)
+        return 1
+    if args.prime > PRIME_CAP:
+        print(f"p is capped at 2**30 - 35 (got {args.prime})", file=sys.stderr)
+        return 1
+    right = args.right and not args.left
+
+    M = mmio.load_mtx(args.matrix, args.prime, verbose=True)
+    print(f"  - {M.nrows} x {M.ncols} with {M.nnz} nz", file=sys.stderr)
+
+    if args.single:
+        from block_lanczos_tpu.models.lanczos import BlockLanczos
+        solver = BlockLanczos(M, n=args.n, right=right,
+                              check_invariants=not args.no_checks)
+    else:
+        from block_lanczos_tpu.parallel import make_mesh
+        from block_lanczos_tpu.parallel.distributed import ShardedBlockLanczos
+        mesh = make_mesh(args.devices)
+        solver = ShardedBlockLanczos(M, n=args.n, right=right, mesh=mesh,
+                                     check_invariants=not args.no_checks)
+
+    resume_state = None
+    extra_time = 0.0
+    if args.load_checkpoint:
+        resume_state = ckpt.load_checkpoint(args.checkpoint_dir)
+        extra_time = float(resume_state.get("elapsed", 0.0))
+        print(f"Resuming from iteration {resume_state['iteration']} "
+              f"({args.checkpoint_dir})")
+
+    verb = VerbosityEngine(solver.expected_iterations, extra_time=extra_time)
+    verb.n_iterations = resume_state["iteration"] if resume_state else 0
+    manager = None
+    if args.checkpoint is not None:
+        manager = ckpt.CheckpointManager(
+            args.checkpoint_dir, interval_s=args.checkpoint,
+            meta={"matrix": args.matrix, "prime": args.prime, "n": args.n,
+                  "right": right},
+            verbose=True)
+
+    def on_iteration(slv, iteration, v, p_blk, start):
+        verb.n_iterations = iteration - 1
+        verb.tick(start)
+        if manager is not None:
+            manager.maybe_save(iteration, v, p_blk, start,
+                               extra_time=extra_time)
+
+    res = solver.solve(stop_after=args.stop_after, verbose=True,
+                       on_iteration=on_iteration, resume_state=resume_state)
+    print()
+    if args.output_file:
+        print(f"Saving result in {args.output_file}")
+        mmio.write_kernel_mtx(args.output_file, res.kernel,
+                              solver.n_eff, args.n)
+    else:
+        print("Not saving result (no --output given)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

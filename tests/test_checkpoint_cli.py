@@ -1,0 +1,109 @@
+"""Checkpoint/resume and CLI end-to-end tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from block_lanczos_tpu.models.lanczos import BlockLanczos
+from block_lanczos_tpu.utils import checkpoint as ckpt
+from block_lanczos_tpu.utils import cli, mmio
+from block_lanczos_tpu.utils.verbosity import VerbosityEngine, format_duration
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    d = str(tmp_path / "ck")
+    v = np.arange(12, dtype=np.uint32).reshape(6, 2)
+    p = (v * 7) % 65537
+    ckpt.save_checkpoint(d, v, p, iteration=5, elapsed=1.5,
+                         meta={"prime": 65537})
+    state = ckpt.load_checkpoint(d)
+    np.testing.assert_array_equal(state["v"], v)
+    np.testing.assert_array_equal(state["p"], p)
+    assert state["iteration"] == 5 and state["prime"] == 65537
+    # overwrite is atomic and versionless: a second save fully replaces
+    ckpt.save_checkpoint(d, v + 1, p, iteration=6, elapsed=2.0)
+    state = ckpt.load_checkpoint(d)
+    assert state["iteration"] == 6
+    np.testing.assert_array_equal(state["v"], v + 1)
+
+
+def test_resume_matches_uninterrupted(tmp_path):
+    """Solve A: run to completion.  Solve B: stop mid-way, checkpoint, resume
+    in a FRESH solver.  Kernels must be bit-identical."""
+    prime, n = 65537, 4
+    M = mmio.load_mtx(os.path.join(GOLDEN, "left_p65537_n4.mtx"), prime)
+    full = BlockLanczos(M, n=n).solve()
+
+    solver_b = BlockLanczos(M, n=n)
+    saved = {}
+
+    def save_at_5(slv, iteration, v, p_blk, start):
+        if iteration == 5:
+            saved["state"] = {"v": np.asarray(v), "p": np.asarray(p_blk),
+                              "iteration": iteration}
+
+    partial_res = solver_b.solve(stop_after=7, on_iteration=save_at_5)
+    assert partial_res.iterations == 7 and "state" in saved
+
+    d = str(tmp_path / "ck")
+    st = saved["state"]
+    ckpt.save_checkpoint(d, st["v"], st["p"], st["iteration"], elapsed=0.0)
+    resumed = BlockLanczos(M, n=n).solve(
+        resume_state=ckpt.load_checkpoint(d))
+    assert resumed.iterations == full.iterations
+    np.testing.assert_array_equal(resumed.kernel, full.kernel)
+    assert resumed.v_nonzero and resumed.product_zero
+
+
+def test_cli_end_to_end(tmp_path, capsys):
+    mtx = os.path.join(GOLDEN, "left_p65537_n4.mtx")
+    out = str(tmp_path / "kernel.mtx")
+    rc = cli.main(["--matrix", mtx, "--prime", "65537", "--n", "4",
+                   "--output-file", out, "--single"])
+    assert rc == 0
+    _, _, got = mmio.read_array_mtx(out)
+    _, _, ref = mmio.read_array_mtx(
+        os.path.join(GOLDEN, "left_p65537_n4.kernel.mtx"))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_cli_checkpoint_resume(tmp_path):
+    mtx = os.path.join(GOLDEN, "left_p65537_n4.mtx")
+    ckdir = str(tmp_path / "ck")
+    # run 6 iterations with aggressive checkpointing (every 0 seconds)
+    rc = cli.main(["--matrix", mtx, "--prime", "65537", "--n", "4",
+                   "--stop-after", "6", "--single",
+                   "--checkpoint", "0", "--checkpoint-dir", ckdir])
+    assert rc == 0
+    state = ckpt.load_checkpoint(ckdir)
+    assert state["iteration"] == 6
+    # resume to completion and verify against the golden kernel
+    out = str(tmp_path / "kernel.mtx")
+    rc = cli.main(["--matrix", mtx, "--prime", "65537", "--n", "4",
+                   "--output-file", out, "--single",
+                   "--load-checkpoint", "--checkpoint-dir", ckdir])
+    assert rc == 0
+    _, _, got = mmio.read_array_mtx(out)
+    _, _, ref = mmio.read_array_mtx(
+        os.path.join(GOLDEN, "left_p65537_n4.kernel.mtx"))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_cli_validation(tmp_path):
+    mtx = os.path.join(GOLDEN, "left_p65537_n4.mtx")
+    assert cli.main(["--matrix", mtx, "--prime", "65537",
+                     "--output-file", "x", "--stop-after", "3"]) == 1
+    assert cli.main(["--matrix", mtx, "--prime", str(2**31 - 1)]) == 1
+
+
+def test_verbosity_engine(capsys):
+    eng = VerbosityEngine(100, min_interval_s=0.0)
+    import time
+    start = time.time() - 10.0
+    eng.tick(start)
+    out = capsys.readouterr().out
+    assert "Expected duration" in out and "iteration 1 / 100" in out
+    assert format_duration(90061) == "1 j 1 h 1 min 1 s"
