@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Benchmark: block-Lanczos SpMV throughput on one TPU chip vs the C reference.
+
+Measures steady-state per-iteration time of the full solver (2 exact mod-p
+SpMVs + 2 Gram products + semi-inverse + orthogonalize) on a generated
+sparse matrix with the reference's benchmark configuration
+(--prime 1073741789 --n 4; BASELINE.md), then runs the reference's
+SEQUENTIAL C solver on the SAME matrix on this host for an
+apples-to-apples per-iteration baseline.
+
+Prints ONE JSON line:
+  {"metric": "spmv_nnz_per_s_per_chip", "value": ..., "unit": "nnz/s",
+   "vs_baseline": <our iterations/s divided by sequential C iterations/s>}
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+PRIME = 1073741789
+N_BLOCK = 4
+NROWS, NCOLS, DENSITY, SEED = 300_000, 200_000, 15, 42
+WARMUP_ITERS = 2
+BENCH_ITERS = 8
+REF_ITERS = 3
+
+CACHE_DIR = "/tmp/blanczos_bench"
+MTX = os.path.join(CACHE_DIR, f"bench_{NROWS}x{NCOLS}_d{DENSITY}_s{SEED}.mtx")
+
+
+def ensure_matrix():
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    if not os.path.exists(MTX):
+        from block_lanczos_tpu.utils.gen import write_random_mtx
+        print("generating benchmark matrix ...", file=sys.stderr)
+        write_random_mtx(MTX, NROWS, NCOLS, DENSITY, seed=SEED)
+    return MTX
+
+
+def bench_ours(M):
+    from block_lanczos_tpu.models.lanczos import BlockLanczos
+
+    solver = BlockLanczos(M, n=N_BLOCK, check_invariants=False)
+    # warmup (includes compile)
+    import jax
+    v = solver.initial_block()
+    import jax.numpy as jnp
+    p_blk = jnp.zeros_like(v)
+    for _ in range(WARMUP_ITERS):
+        v, p_blk, *rest = solver._step(v, p_blk)
+    jax.block_until_ready(v)
+    t0 = time.perf_counter()
+    for _ in range(BENCH_ITERS):
+        v, p_blk, *rest = solver._step(v, p_blk)
+    jax.block_until_ready(v)
+    dt = (time.perf_counter() - t0) / BENCH_ITERS
+    return dt
+
+
+def bench_reference_seq(mtx_path):
+    """Per-iteration time of the sequential C reference on this host."""
+    build_dir = "/tmp/blanczos_refbench"
+    binary = os.path.join(build_dir, "lanczos_modp")
+    if not os.path.exists(binary):
+        try:
+            os.makedirs(build_dir, exist_ok=True)
+            src = "/root/reference/sequential"
+            subprocess.run(
+                f"cp {src}/*.c {src}/*.h {src}/Makefile {build_dir}/ && "
+                f"make -C {build_dir}", shell=True, check=True,
+                capture_output=True)
+        except subprocess.CalledProcessError:
+            return None
+    try:
+        t0 = time.perf_counter()
+        subprocess.run(
+            [binary, "--matrix", mtx_path, "--prime", str(PRIME),
+             "--n", str(N_BLOCK), "--stop-after", str(REF_ITERS)],
+            check=True, capture_output=True, timeout=3600)
+        wall = time.perf_counter() - t0
+        # subtract the load time (measured with a 0-iteration... the solver
+        # has no such mode; approximate load via a 1-iteration run)
+        t0 = time.perf_counter()
+        subprocess.run(
+            [binary, "--matrix", mtx_path, "--prime", str(PRIME),
+             "--n", str(N_BLOCK), "--stop-after", "1"],
+            check=True, capture_output=True, timeout=3600)
+        wall1 = time.perf_counter() - t0
+        per_iter = (wall - wall1) / (REF_ITERS - 1)
+        return max(per_iter, 1e-9)
+    except (subprocess.CalledProcessError, subprocess.TimeoutExpired):
+        return None
+
+
+def main():
+    mtx = ensure_matrix()
+    from block_lanczos_tpu.utils.mmio import load_mtx
+    M = load_mtx(mtx, PRIME)
+
+    ours_per_iter = bench_ours(M)
+    nnz_per_s = 2 * M.nnz / ours_per_iter  # two SpMV passes per iteration
+
+    ref_per_iter = bench_reference_seq(mtx)
+    vs_baseline = (ref_per_iter / ours_per_iter) if ref_per_iter else None
+
+    result = {
+        "metric": "spmv_nnz_per_s_per_chip",
+        "value": round(nnz_per_s, 1),
+        "unit": "nnz/s",
+        "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+        "detail": {
+            "nnz": M.nnz,
+            "n": N_BLOCK,
+            "prime": PRIME,
+            "our_s_per_iteration": round(ours_per_iter, 6),
+            "reference_seq_s_per_iteration":
+                round(ref_per_iter, 6) if ref_per_iter else None,
+            "iterations_per_s": round(1.0 / ours_per_iter, 3),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

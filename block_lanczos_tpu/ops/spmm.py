@@ -46,24 +46,31 @@ class SparseOp:
 
     Entries are sorted by out_idx; val_mont is in the Montgomery domain
     (val * R mod p) so mont_mul(val_mont, x) == val * x mod p exactly.
+    rowptr is the CSR-style segment-boundary array over the TRUE entries
+    (padding lives past rowptr[out_dim] or contributes zeros), which lets
+    the segment reduction run scatter-free via prefix sums.
     """
     out_dim: int
     in_dim: int
     nnz: int          # true nnz (before padding)
     chunk: int
+    seg_safe: bool    # max segment length <= LIMB_SUM_MAX
     out_idx: jax.Array  # (padded_nnz,) int32, sorted
     in_idx: jax.Array   # (padded_nnz,) int32
     val_mont: jax.Array  # (padded_nnz,) uint32
+    rowptr: jax.Array   # (out_dim + 1,) int32
 
     def tree_flatten(self):
-        return ((self.out_idx, self.in_idx, self.val_mont),
-                (self.out_dim, self.in_dim, self.nnz, self.chunk))
+        return ((self.out_idx, self.in_idx, self.val_mont, self.rowptr),
+                (self.out_dim, self.in_dim, self.nnz, self.chunk,
+                 self.seg_safe))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        out_idx, in_idx, val_mont = children
-        out_dim, in_dim, nnz, chunk = aux
-        return cls(out_dim, in_dim, nnz, chunk, out_idx, in_idx, val_mont)
+        out_idx, in_idx, val_mont, rowptr = children
+        out_dim, in_dim, nnz, chunk, seg_safe = aux
+        return cls(out_dim, in_dim, nnz, chunk, seg_safe,
+                   out_idx, in_idx, val_mont, rowptr)
 
 
 def _sort_by(key_idx, other_idx, vals, key_dim):
@@ -85,9 +92,9 @@ def build_op_arrays(f: GFp, out_idx, in_idx, vals, out_dim: int,
                     sort: bool = True):
     """Host-side SparseOp array construction (sort, Montgomery, padding).
 
-    Returns (out_idx, in_idx, val_mont, nnz) as NumPy arrays padded to a
-    multiple of `chunk` (at least `pad_to` entries if given — used to
-    equalize shard shapes for shard_map).
+    Returns (out_idx, in_idx, val_mont, nnz, rowptr, seg_safe) as NumPy
+    arrays padded to a multiple of `chunk` (at least `pad_to` entries if
+    given — used to equalize shard shapes for shard_map).
     """
     assert chunk <= gfp.LIMB_SUM_MAX
     out_idx = np.asarray(out_idx, np.int32)
@@ -100,6 +107,9 @@ def build_op_arrays(f: GFp, out_idx, in_idx, vals, out_dim: int,
         vm = ((vals.astype(np.uint64) << 32) % np.uint64(f.p)).astype(np.uint32)
     else:
         vm = vals % np.uint32(f.p)
+    # CSR-style segment boundaries over the true (sorted) entries
+    rowptr = np.searchsorted(out_idx, np.arange(out_dim + 1)).astype(np.int32)
+    seg_safe = bool((np.diff(rowptr) <= gfp.LIMB_SUM_MAX).all())
     target = max(nnz, pad_to or 0, 1)
     target += (-target) % chunk
     pad = target - nnz
@@ -110,17 +120,18 @@ def build_op_arrays(f: GFp, out_idx, in_idx, vals, out_dim: int,
         out_idx = np.concatenate([out_idx, np.full(pad, last, np.int32)])
         in_idx = np.concatenate([in_idx, np.zeros(pad, np.int32)])
         vm = np.concatenate([vm, np.zeros(pad, np.uint32)])
-    return out_idx, in_idx, vm, nnz
+    return out_idx, in_idx, vm, nnz, rowptr, seg_safe
 
 
 def make_sparse_op(f: GFp, out_idx, in_idx, vals, out_dim: int, in_dim: int,
                    chunk: int = DEFAULT_CHUNK, sort: bool = True) -> SparseOp:
     """Build a device SparseOp from host COO arrays (values in [0, p))."""
-    oi, ii, vm, nnz = build_op_arrays(f, out_idx, in_idx, vals, out_dim,
-                                      chunk=chunk, sort=sort)
+    oi, ii, vm, nnz, rowptr, seg_safe = build_op_arrays(
+        f, out_idx, in_idx, vals, out_dim, chunk=chunk, sort=sort)
     return SparseOp(out_dim=out_dim, in_dim=in_dim, nnz=nnz, chunk=chunk,
+                    seg_safe=seg_safe,
                     out_idx=jnp.asarray(oi), in_idx=jnp.asarray(ii),
-                    val_mont=jnp.asarray(vm))
+                    val_mont=jnp.asarray(vm), rowptr=jnp.asarray(rowptr))
 
 
 @jax.tree_util.register_pytree_node_class
@@ -155,9 +166,42 @@ def spmv_block(f: GFp, op: SparseOp, x, out_rows: int | None = None):
     x: (in_pad, n) uint32 with in_pad >= op.in_dim; returns (out_rows, n)
     with out_rows >= op.out_dim (default op.out_dim); rows beyond the true
     output dimension are zero, matching the reference's zero-padded blocks.
+
+    Fast path: gather + ONE fused elementwise mont_mul + limb prefix-sums +
+    rowptr differences.  XLA TPU scatter serializes on colliding indices
+    (measured 25x slower than this), so the segment reduction is done
+    scatter-free: with entries sorted by output row, the segment sum is the
+    difference of an (exclusive) running prefix at the row boundaries;
+    uint32 wrap-around keeps the differences exact because every true
+    segment sum of 15-bit limbs stays below 2^32 (seg_safe).
     """
     if out_rows is None:
         out_rows = op.out_dim
+    if op.seg_safe:
+        return _spmv_prefix(f, op, x, out_rows)
+    return _spmv_scan(f, op, x, out_rows)
+
+
+def _spmv_prefix(f: GFp, op: SparseOp, x, out_rows: int):
+    n = x.shape[1]
+    prod = gfp.mont_mul(f, op.val_mont[:, None], x[op.in_idx])  # (nnzp, n)
+    hi, lo = gfp.limb_split(prod)
+    zero = jnp.zeros((1, n), u32)
+    ph = jnp.concatenate([zero, jnp.cumsum(hi, axis=0, dtype=u32)])
+    pl = jnp.concatenate([zero, jnp.cumsum(lo, axis=0, dtype=u32)])
+    lo_b = op.rowptr[:-1]
+    hi_b = op.rowptr[1:]
+    yh = ph[hi_b] - ph[lo_b]   # wrap-exact: true segment sums < 2^32
+    yl = pl[hi_b] - pl[lo_b]
+    y = gfp.limb_combine(f, yh, yl)
+    if out_rows > op.out_dim:
+        y = jnp.pad(y, ((0, out_rows - op.out_dim), (0, 0)))
+    return y
+
+
+def _spmv_scan(f: GFp, op: SparseOp, x, out_rows: int):
+    """Fallback for pathological segment lengths (> 2^17 nnz in one row):
+    chunked scan where each chunk's segments are bounded by the chunk size."""
     n = x.shape[1]
     padded_nnz = op.out_idx.shape[0]
     nchunks = padded_nnz // op.chunk

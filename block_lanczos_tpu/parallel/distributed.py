@@ -44,10 +44,10 @@ from block_lanczos_tpu.utils.rng import Xoshiro256Plus
 
 
 def _local_step(f: GFp, ops: shard_lib.ShardedOps, axis: str,
-                fo, fi, fv, so, si, sv, v_local, p_local):
+                fo, fi, fv, frp, so, si, sv, srp, v_local, p_local):
     """Per-device body of one Lanczos iteration (runs under shard_map)."""
-    first = ops.local_first(fo[0], fi[0], fv[0])
-    second = ops.local_second(so[0], si[0], sv[0])
+    first = ops.local_first(fo[0], fi[0], fv[0], frp[0])
+    second = ops.local_second(so[0], si[0], sv[0], srp[0])
 
     tmp_partial = spmm.spmv_block(f, first, v_local, out_rows=ops.mp_rows)
     tmp = psum_mod(f, tmp_partial, axis)                    # replicated
@@ -94,10 +94,10 @@ class ShardedBlockLanczos:
         body = partial(_local_step, self.f, self.ops, self.axis)
         smapped = jax.shard_map(
             body, mesh=self.mesh,
-            in_specs=(nnz_spec,) * 6 + (vec_spec, vec_spec),
+            in_specs=(nnz_spec,) * 8 + (vec_spec, vec_spec),
             out_specs=(vec_spec, vec_spec, rep2, rep2, rep2, rep2,
                        P(None), P()))
-        self._step = jax.jit(smapped, donate_argnums=(6, 7))
+        self._step = jax.jit(smapped, donate_argnums=(8, 9))
 
     def initial_block(self):
         """Global v0 from the sequential xoshiro stream, then shard."""
@@ -127,8 +127,9 @@ class ShardedBlockLanczos:
             print(f"  - Expecting {self.expected_iterations} iterations")
             print("  - Main loop")
 
-        args = (ops.first_out, ops.first_in, ops.first_val,
-                ops.second_out, ops.second_in, ops.second_val)
+        args = (ops.first_out, ops.first_in, ops.first_val, ops.first_rowptr,
+                ops.second_out, ops.second_in, ops.second_val,
+                ops.second_rowptr)
         start = time.time()
         tmp = None
         stopped_by_limit = False

@@ -40,23 +40,28 @@ class ShardedOps:
     mp_rows: int       # padded other dimension
     n_eff: int
     m_eff: int
-    # stacked (K, padded_nnz) arrays for each direction
+    # stacked (K, padded_nnz) / (K, out+1) arrays for each direction
     first_out: jax.Array
     first_in: jax.Array
     first_val: jax.Array
+    first_rowptr: jax.Array
     second_out: jax.Array
     second_in: jax.Array
     second_val: jax.Array
+    second_rowptr: jax.Array
     chunk: int
+    seg_safe: bool  # True iff EVERY shard's ops are prefix-sum safe
 
-    def local_first(self, oi, ii, vm) -> SparseOp:
+    def local_first(self, oi, ii, vm, rp) -> SparseOp:
         """Rebuild the local 'first' op inside shard_map (out = full M_eff)."""
         return SparseOp(out_dim=self.mp_rows, in_dim=self.band, nnz=-1,
-                        chunk=self.chunk, out_idx=oi, in_idx=ii, val_mont=vm)
+                        chunk=self.chunk, seg_safe=self.seg_safe,
+                        out_idx=oi, in_idx=ii, val_mont=vm, rowptr=rp)
 
-    def local_second(self, oi, ii, vm) -> SparseOp:
+    def local_second(self, oi, ii, vm, rp) -> SparseOp:
         return SparseOp(out_dim=self.band, in_dim=self.mp_rows, nnz=-1,
-                        chunk=self.chunk, out_idx=oi, in_idx=ii, val_mont=vm)
+                        chunk=self.chunk, seg_safe=self.seg_safe,
+                        out_idx=oi, in_idx=ii, val_mont=vm, rowptr=rp)
 
 
 def partition_matrix(f: GFp, M: COOMatrix, right: bool, mesh: jax.sharding.Mesh,
@@ -87,20 +92,25 @@ def partition_matrix(f: GFp, M: COOMatrix, right: bool, mesh: jax.sharding.Mesh,
         second_parts.append((lk, ok, xv))  # out = local N, in = M-index
 
     def build_stack(parts, out_dim):
-        outs, ins, vals = [], [], []
+        outs, ins, vals, rps = [], [], [], []
+        safe = True
         for (oi, ii, xv) in parts:
-            o, i, v, _ = spmm.build_op_arrays(
+            o, i, v, _, rp, s = spmm.build_op_arrays(
                 f, oi, ii, xv, out_dim, chunk=chunk, pad_to=max_nnz)
-            outs.append(o); ins.append(i); vals.append(v)
+            outs.append(o); ins.append(i); vals.append(v); rps.append(rp)
+            safe = safe and s
         sharding = NamedSharding(mesh, P(axis))
         return (jax.device_put(np.stack(outs), sharding),
                 jax.device_put(np.stack(ins), sharding),
-                jax.device_put(np.stack(vals), sharding))
+                jax.device_put(np.stack(vals), sharding),
+                jax.device_put(np.stack(rps), sharding), safe)
 
-    f_o, f_i, f_v = build_stack(first_parts, mp_rows)
-    s_o, s_i, s_v = build_stack(second_parts, band)
+    f_o, f_i, f_v, f_rp, f_safe = build_stack(first_parts, mp_rows)
+    s_o, s_i, s_v, s_rp, s_safe = build_stack(second_parts, band)
     return ShardedOps(n_shards=K, band=band, np_rows=np_rows, mp_rows=mp_rows,
                       n_eff=n_eff, m_eff=m_eff,
                       first_out=f_o, first_in=f_i, first_val=f_v,
+                      first_rowptr=f_rp,
                       second_out=s_o, second_in=s_i, second_val=s_v,
-                      chunk=chunk)
+                      second_rowptr=s_rp,
+                      chunk=chunk, seg_safe=f_safe and s_safe)
