@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Scaling benchmark: per-iteration time and nnz/s vs mesh size.
+
+The reference's benchmark suite measures wall time of the MPI/OpenMP/hybrid
+variants over core/node counts (reference: benchmarks/times.txt,
+mpi_vs_openMP.csv).  The analogue here is solver throughput over mesh sizes.
+On real multi-chip TPU hardware this measures ICI scaling; on a single-chip
+or CPU host it validates the scaling *machinery* via the virtual device
+mesh (XLA_FLAGS=--xla_force_host_platform_device_count=N).
+
+Writes a CSV (mesh_size, s_per_iteration, nnz_per_s, efficiency) and prints
+a table.  Usage:
+    python benchmarks/scaling.py [--cpu N] [--nrows R --ncols C --density D]
+"""
+
+import argparse
+import csv
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", type=int, default=0,
+                    help="force CPU platform with N virtual devices")
+    ap.add_argument("--nrows", type=int, default=120_000)
+    ap.add_argument("--ncols", type=int, default=80_000)
+    ap.add_argument("--density", type=int, default=12)
+    ap.add_argument("--n", type=int, default=4)
+    ap.add_argument("--prime", type=int, default=1073741789)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--out", default="/tmp/blanczos_scaling.csv")
+    args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.cpu}").strip()
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from block_lanczos_tpu.utils.gen import random_sparse
+    from block_lanczos_tpu.utils.mmio import COOMatrix
+    from block_lanczos_tpu.parallel import make_mesh
+    from block_lanczos_tpu.parallel.distributed import ShardedBlockLanczos
+
+    i, j, x = random_sparse(args.nrows, args.ncols, args.density, seed=42)
+    M = COOMatrix(args.nrows, args.ncols, len(x), i.astype(np.int32),
+                  j.astype(np.int32), (x % args.prime).astype(np.uint32),
+                  args.prime)
+    print(f"matrix: {M.nrows} x {M.ncols}, {M.nnz} nnz; n={args.n}, "
+          f"p={args.prime}", file=sys.stderr)
+
+    n_avail = len(jax.devices())
+    sizes = [k for k in (1, 2, 4, 8, 16, 32) if k <= n_avail]
+    rows = []
+    base = None
+    for k in sizes:
+        solver = ShardedBlockLanczos(M, n=args.n, mesh=make_mesh(k),
+                                     check_invariants=False)
+        v = solver.initial_block()
+        p_blk = jax.device_put(
+            np.zeros((solver.np_rows, args.n), np.uint32),
+            solver._vec_sharding)
+        sargs = (solver.ops.first_out, solver.ops.first_in,
+                 solver.ops.first_val, solver.ops.first_rowptr,
+                 solver.ops.second_out, solver.ops.second_in,
+                 solver.ops.second_val, solver.ops.second_rowptr)
+        v, p_blk, *rest = solver._step(*sargs, v, p_blk)   # compile+warm
+        jax.block_until_ready(v)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            v, p_blk, *rest = solver._step(*sargs, v, p_blk)
+        jax.block_until_ready(v)
+        per_iter = (time.perf_counter() - t0) / args.iters
+        nnz_s = 2 * M.nnz / per_iter
+        if base is None:
+            base = per_iter
+        eff = base / (per_iter * k)
+        rows.append((k, per_iter, nnz_s, eff))
+        print(f"mesh={k:3d}  {per_iter*1000:9.2f} ms/iter  "
+              f"{nnz_s/1e6:9.1f} Mnnz/s  efficiency={eff:6.1%}")
+
+    with open(args.out, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["mesh_size", "s_per_iteration", "nnz_per_s", "efficiency"])
+        w.writerows(rows)
+    print(f"wrote {args.out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

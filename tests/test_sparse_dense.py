@@ -159,3 +159,39 @@ def test_semi_inverse_device_matches_np(rng, p, n):
         np.testing.assert_array_equal(np.asarray(w_d), w_np)
         np.testing.assert_array_equal(np.asarray(d_d), d_np)
         assert int(npiv_d) == npiv_np
+
+
+@pytest.mark.parametrize("p", [1073741789])
+def test_spmv_scan_fallback_matches_prefix(rng, p):
+    """Force the chunked-scan fallback and compare with the prefix path."""
+    f = GFp.make(p)
+    nrows, ncols, n, nnz = 60, 45, 3, 3000
+    i, j, x = rand_coo(rng, nrows, ncols, nnz, p)
+    op = spmm.make_sparse_op(f, i, j, x, nrows, ncols, chunk=256)
+    v = rng.integers(0, p, (ncols, n), dtype=np.uint64).astype(np.uint32)
+    fast = np.asarray(spmm.spmv_block(f, op, jnp.asarray(v)))
+    import dataclasses
+    op_slow = dataclasses.replace(op, seg_safe=False)
+    slow = np.asarray(spmm.spmv_block(f, op_slow, jnp.asarray(v)))
+    np.testing.assert_array_equal(fast, slow)
+    np.testing.assert_array_equal(
+        fast, spmm.spmv_reference_np(p, nrows, i, j, x, v))
+
+
+def test_spmv_empty_rows_and_cols(rng):
+    """Rows/cols with no entries and an empty matrix behave like zeros."""
+    p = 65537
+    f = GFp.make(p)
+    i = np.array([2, 2, 7], np.int32)
+    j = np.array([1, 3, 0], np.int32)
+    x = np.array([5, 6, 7], np.uint32)
+    op = spmm.make_sparse_op(f, i, j, x, 10, 5)
+    v = rng.integers(0, p, (5, 2), dtype=np.uint64).astype(np.uint32)
+    got = np.asarray(spmm.spmv_block(f, op, jnp.asarray(v)))
+    want = spmm.spmv_reference_np(p, 10, i, j, x, v)
+    np.testing.assert_array_equal(got, want)
+    # fully empty operator
+    op0 = spmm.make_sparse_op(f, np.zeros(0, np.int32), np.zeros(0, np.int32),
+                              np.zeros(0, np.uint32), 4, 5)
+    got0 = np.asarray(spmm.spmv_block(f, op0, jnp.asarray(v[:5])))
+    assert (got0 == 0).all()
