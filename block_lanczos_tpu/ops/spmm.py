@@ -74,14 +74,11 @@ class SparseOp:
 
 
 def _sort_by(key_idx, other_idx, vals, key_dim):
-    """Stable counting sort by key_idx; native fast path, NumPy fallback."""
-    out = native.coo_to_csr(key_dim, key_idx, other_idx, vals)
-    if out is not None:
-        _, other_sorted, vals_sorted = out
-        key_sorted = np.repeat(
-            np.arange(key_dim, dtype=np.int32), np.diff(out[0]))
-        return key_sorted, other_sorted, vals_sorted
-    order = np.argsort(key_idx, kind="stable")
+    """Sort by (key_idx, other_idx): row-major with ascending column within
+    each row.  The secondary key costs nothing for correctness (segment sums
+    are order-independent) and improves gather locality on TPU — consecutive
+    nnz hit ascending x rows."""
+    order = np.lexsort((other_idx, key_idx))
     return (np.asarray(key_idx, np.int32)[order],
             np.asarray(other_idx, np.int32)[order],
             np.asarray(vals, np.uint32)[order])
