@@ -1,13 +1,14 @@
 """Multi-chip sharded block Lanczos via shard_map over a device mesh.
 
 Replaces the reference's entire MPI layer (mpi/lanczos_modp.c:505-1409) with
-a stateless SPMD design:
+a stateless SPMD design on a ("rows", "cols") grid mesh:
 
   * data stays sharded on device between iterations — there is NO root rank
     and NO per-iteration re-scatter (the reference's root re-sends v, Av, p
     slices every iteration: mpi/lanczos_modp.c:1152-1286),
-  * the two SpMV reductions and two Gram reductions are exact limb-split
-    psums over the mesh axis (see parallel.collectives),
+  * the SpMV partial reductions are exact limb-split psums: tmp over the
+    "rows" axis, Av over the "cols" axis (a no-op for a 1D rows-only mesh);
+    the two n x n Gram reductions psum over "rows",
   * the tiny semi-inverse is computed redundantly on every device from the
     replicated Gram matrix — deterministic, so all devices agree on d/winv
     and the stop flag (the reference does the same on every rank:
@@ -15,14 +16,13 @@ a stateless SPMD design:
   * the whole iteration is ONE jitted shard_map program; per-iteration
     host traffic is the replicated stop flag only.
 
-Bit-exactness holds for ANY mesh size because mod-p addition is associative
-and commutative and every reduction is exact (SURVEY.md section 2,
-"TPU-native equivalent").
+Bit-exactness holds for ANY grid shape because mod-p addition is
+associative and commutative and every reduction is exact (SURVEY.md
+section 2, "TPU-native equivalent").
 """
 
 from __future__ import annotations
 
-import dataclasses
 import time
 from functools import partial
 from typing import Callable
@@ -34,27 +34,29 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from block_lanczos_tpu.models import lanczos as single
 from block_lanczos_tpu.models.lanczos import SolveResult
-from block_lanczos_tpu.ops import dense, gfp, spmm
+from block_lanczos_tpu.ops import dense, spmm
 from block_lanczos_tpu.ops.gfp import GFp, u32
 from block_lanczos_tpu.ops.semi_inverse import semi_inverse_device
 from block_lanczos_tpu.parallel import sharding as shard_lib
 from block_lanczos_tpu.parallel.collectives import psum_mod
+from block_lanczos_tpu.parallel.mesh import COLS_AXIS, ROWS_AXIS
 from block_lanczos_tpu.utils.mmio import COOMatrix
 from block_lanczos_tpu.utils.rng import Xoshiro256Plus
 
 
-def _local_step(f: GFp, ops: shard_lib.ShardedOps, axis: str,
+def _local_step(f: GFp, ops: shard_lib.ShardedOps,
                 fo, fi, fv, frp, so, si, sv, srp, v_local, p_local):
     """Per-device body of one Lanczos iteration (runs under shard_map)."""
-    first = ops.local_first(fo[0], fi[0], fv[0], frp[0])
-    second = ops.local_second(so[0], si[0], sv[0], srp[0])
+    first = ops.local_first(fo[0, 0], fi[0, 0], fv[0, 0], frp[0, 0])
+    second = ops.local_second(so[0, 0], si[0, 0], sv[0, 0], srp[0, 0])
 
-    tmp_partial = spmm.spmv_block(f, first, v_local, out_rows=ops.mp_rows)
-    tmp = psum_mod(f, tmp_partial, axis)                    # replicated
-    Av_local = spmm.spmv_block(f, second, tmp, out_rows=ops.band)
+    tmp_partial = spmm.spmv_block(f, first, v_local, out_rows=ops.mband)
+    tmp = psum_mod(f, tmp_partial, ROWS_AXIS)   # sharded by cols
+    av_partial = spmm.spmv_block(f, second, tmp, out_rows=ops.band)
+    Av_local = psum_mod(f, av_partial, COLS_AXIS)  # sharded by rows
 
-    vtAv = psum_mod(f, dense.gram_mod(f, v_local, Av_local), axis)
-    vtAAv = psum_mod(f, dense.gram_mod(f, Av_local, Av_local), axis)
+    vtAv = psum_mod(f, dense.gram_mod(f, v_local, Av_local), ROWS_AXIS)
+    vtAAv = psum_mod(f, dense.gram_mod(f, Av_local, Av_local), ROWS_AXIS)
 
     winv, d, npiv = semi_inverse_device(f, vtAv)  # redundant on every device
     stop = npiv == 0
@@ -67,14 +69,17 @@ def _local_step(f: GFp, ops: shard_lib.ShardedOps, axis: str,
 
 
 class ShardedBlockLanczos:
-    """Drop-in multi-device variant of models.BlockLanczos."""
+    """Drop-in multi-device variant of models.BlockLanczos.
+
+    `mesh` is a ("rows", "cols") grid (see parallel.mesh); a rows-only 1D
+    factorization is the default and costs one collective per iteration.
+    """
 
     def __init__(self, M: COOMatrix, n: int = 1, right: bool = False,
                  mesh: jax.sharding.Mesh | None = None,
                  pad_multiple: int = 8, check_invariants: bool = True):
         from block_lanczos_tpu.parallel.mesh import make_mesh
         self.mesh = mesh if mesh is not None else make_mesh()
-        self.axis = self.mesh.axis_names[0]
         self.f = GFp.make(M.prime)
         self.n = int(n)
         self.right = bool(right)
@@ -86,16 +91,17 @@ class ShardedBlockLanczos:
         self.np_rows = self.ops.np_rows
         self.expected_iterations = 1 + self.m_eff // self.n
         self._rng = Xoshiro256Plus()
-        self._vec_sharding = NamedSharding(self.mesh, P(self.axis, None))
+        self._vec_sharding = NamedSharding(self.mesh, P(ROWS_AXIS, None))
 
-        nnz_spec = P(self.axis)
-        vec_spec = P(self.axis, None)
+        nnz_spec = P(ROWS_AXIS, COLS_AXIS)
+        v_spec = P(ROWS_AXIS, None)
+        tmp_spec = P(COLS_AXIS, None)
         rep2 = P(None, None)
-        body = partial(_local_step, self.f, self.ops, self.axis)
+        body = partial(_local_step, self.f, self.ops)
         smapped = jax.shard_map(
             body, mesh=self.mesh,
-            in_specs=(nnz_spec,) * 8 + (vec_spec, vec_spec),
-            out_specs=(vec_spec, vec_spec, rep2, rep2, rep2, rep2,
+            in_specs=(nnz_spec,) * 8 + (v_spec, v_spec),
+            out_specs=(v_spec, v_spec, tmp_spec, rep2, rep2, rep2,
                        P(None), P()))
         self._step = jax.jit(smapped, donate_argnums=(8, 9))
 
@@ -105,6 +111,12 @@ class ShardedBlockLanczos:
         v0 = np.zeros((self.np_rows, self.n), np.uint32)
         v0[:self.n_eff] = block.reshape(self.n_eff, self.n)
         return jax.device_put(v0, self._vec_sharding)
+
+    def _step_args(self):
+        ops = self.ops
+        return (ops.first_out, ops.first_in, ops.first_val, ops.first_rowptr,
+                ops.second_out, ops.second_in, ops.second_val,
+                ops.second_rowptr)
 
     def solve(self, stop_after: int = -1, verbose: bool = False,
               on_iteration: Callable | None = None,
@@ -123,13 +135,12 @@ class ShardedBlockLanczos:
                                    self._vec_sharding)
             n_iterations = int(resume_state["iteration"])
         if verbose:
-            print(f"Block Lanczos [sharded x{ops.n_shards}]")
+            R, C = ops.grid
+            print(f"Block Lanczos [sharded {R}x{C}]")
             print(f"  - Expecting {self.expected_iterations} iterations")
             print("  - Main loop")
 
-        args = (ops.first_out, ops.first_in, ops.first_val, ops.first_rowptr,
-                ops.second_out, ops.second_in, ops.second_val,
-                ops.second_rowptr)
+        args = self._step_args()
         start = time.time()
         tmp = None
         stopped_by_limit = False

@@ -56,6 +56,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="checkpoint directory [default lanczos_checkpoint]")
     ap.add_argument("--devices", type=int, default=None,
                     help="number of mesh devices [default: all]")
+    ap.add_argument("--grid", type=int, nargs=2, metavar=("R", "C"),
+                    default=None,
+                    help="explicit 2D device grid (rows cols)")
     ap.add_argument("--single", action="store_true",
                     help="force the single-device driver")
     ap.add_argument("--no-checks", action="store_true",
@@ -84,7 +87,11 @@ def main(argv=None) -> int:
     else:
         from block_lanczos_tpu.parallel import make_mesh
         from block_lanczos_tpu.parallel.distributed import ShardedBlockLanczos
-        mesh = make_mesh(args.devices)
+        from block_lanczos_tpu.parallel.mesh import make_mesh_grid
+        if args.grid:
+            mesh = make_mesh_grid(*args.grid)
+        else:
+            mesh = make_mesh(args.devices)
         solver = ShardedBlockLanczos(M, n=args.n, right=right, mesh=mesh,
                                      check_invariants=not args.no_checks)
 

@@ -63,3 +63,22 @@ def test_psum_mod_exact():
         out_specs=jax.sharding.PartitionSpec()))(parts.reshape(8, 16))
     want = (parts.astype(object).sum(axis=0) % p).astype(np.uint32)
     np.testing.assert_array_equal(np.asarray(out).reshape(16), want)
+
+
+@pytest.mark.parametrize("grid", [(4, 2), (2, 4), (2, 2), (1, 8)])
+def test_sharded_bit_exact_2d_grid(grid):
+    """2D grid partitions must give the same bits as the reference."""
+    from block_lanczos_tpu.parallel.mesh import make_mesh_grid
+    M, ref, prime, n, right = load_golden("left_p65537_n4")
+    mesh = make_mesh_grid(*grid)
+    res = ShardedBlockLanczos(M, n=n, mesh=mesh).solve()
+    assert res.v_nonzero and res.product_zero
+    np.testing.assert_array_equal(res.kernel.astype(np.int64), ref)
+
+
+def test_balanced_grid():
+    from block_lanczos_tpu.parallel.mesh import balanced_grid
+    assert balanced_grid(1) == (1, 1)
+    assert balanced_grid(8) == (4, 2)
+    assert balanced_grid(16) == (4, 4)
+    assert balanced_grid(7) == (7, 1)
