@@ -70,12 +70,12 @@ def orthogonalize_device(f: GFp, v, Av, p_blk, d, vtAv, vtAAv, winv):
 
 
 def iteration_step(f: GFp, first_op: SparseOp, second_op: SparseOp,
-                   mp_rows: int, np_rows: int, v, p_blk):
+                   mp_rows: int, np_rows: int, check: bool, v, p_blk):
     """One full Lanczos iteration on device.
 
     first_op:  v (Np) -> tmp (Mp)   [Mt for left kernel, M for right]
     second_op: tmp (Mp) -> Av (Np)
-    Returns (v_next, p_next, tmp, Av, vtAv, vtAAv, winv, d, stop).
+    Returns (v_next, p_next, tmp, Av, vtAv, vtAAv, winv, d, stop, inv_ok).
     """
     tmp = spmm.spmv_block(f, first_op, v, out_rows=mp_rows)
     Av = spmm.spmv_block(f, second_op, tmp, out_rows=np_rows)
@@ -83,13 +83,36 @@ def iteration_step(f: GFp, first_op: SparseOp, second_op: SparseOp,
     vtAAv = dense.gram_mod(f, Av, Av)
     winv, d, npiv = semi_inverse_device(f, vtAv)
     stop = npiv == 0
+    inv_ok = (check_invariants_device(f, vtAv, vtAAv, winv, d)
+              if check else jnp.bool_(True))
     v_next, p_next = orthogonalize_device(f, v, Av, p_blk, d, vtAv, vtAAv, winv)
     # On stop the converged block is the PRE-update v (the reference breaks
     # before orthogonalize, lanczos_modp.c:649-652); selecting here keeps
     # the inputs donatable.
     v_out = jnp.where(stop, v, v_next)
     p_out = jnp.where(stop, p_blk, p_next)
-    return v_out, p_out, tmp, Av, vtAv, vtAAv, winv, d, stop
+    return v_out, p_out, tmp, Av, vtAv, vtAAv, winv, d, stop, inv_ok
+
+
+def check_invariants_device(f: GFp, vtAv, vtAAv, winv, d):
+    """Per-iteration algebraic invariants, evaluated on device.
+
+    Same checks as the reference's correctness_tests
+    (sequential/lanczos_modp.c:532-557) but fused into the jitted step:
+    symmetry of vtAv/vtAAv/winv, the support condition
+    winv[i,j] != 0 => d_i or d_j, and winv * (vtAv*d) == diag(d).
+    Returns a single replicated bool — no extra host traffic.
+    """
+    ok = jnp.all(vtAv == vtAv.T)
+    ok &= jnp.all(vtAAv == vtAAv.T)
+    ok &= jnp.all(winv == winv.T)
+    db = d.astype(bool)
+    ok &= jnp.all((winv == u32(0)) | db[:, None] | db[None, :])
+    vtAvd = jnp.where(db[None, :], vtAv, u32(0))
+    check = dense.matmul_nn_mod(f, winv, vtAvd)
+    eye = jnp.eye(d.shape[0], dtype=bool)
+    ok &= jnp.all(jnp.where(eye, check == d[None, :], check == u32(0)))
+    return ok
 
 
 # ---------------------------------------------------------------------------
@@ -162,7 +185,7 @@ class BlockLanczos:
 
         self._step = jax.jit(
             partial(iteration_step, self.f, self.first_op, self.second_op,
-                    self.mp_rows, self.np_rows),
+                    self.mp_rows, self.np_rows, check_invariants),
             donate_argnums=(0, 1))
 
     def initial_block(self) -> jnp.ndarray:
@@ -197,10 +220,12 @@ class BlockLanczos:
             if 0 < stop_after == n_iterations:
                 stopped_by_limit = True
                 break
-            v, p_blk, tmp, Av, vtAv, vtAAv, winv, d, stop = \
+            v, p_blk, tmp, Av, vtAv, vtAAv, winv, d, stop, inv_ok = \
                 self._step(v, p_blk)
-            if self.check_invariants:
+            if self.check_invariants and not bool(inv_ok):
+                # reproduce the precise failing assertion on host
                 check_invariants(f.p, vtAv, vtAAv, winv, d)
+                raise AssertionError("device invariant check failed")
             if bool(stop):
                 # v already holds the pre-update (converged) block
                 break

@@ -44,7 +44,7 @@ from block_lanczos_tpu.utils.mmio import COOMatrix
 from block_lanczos_tpu.utils.rng import Xoshiro256Plus
 
 
-def _local_step(f: GFp, ops: shard_lib.ShardedOps,
+def _local_step(f: GFp, ops: shard_lib.ShardedOps, check: bool,
                 fo, fi, fv, frp, so, si, sv, srp, v_local, p_local):
     """Per-device body of one Lanczos iteration (runs under shard_map)."""
     first = ops.local_first(fo[0, 0], fi[0, 0], fv[0, 0], frp[0, 0])
@@ -60,12 +60,14 @@ def _local_step(f: GFp, ops: shard_lib.ShardedOps,
 
     winv, d, npiv = semi_inverse_device(f, vtAv)  # redundant on every device
     stop = npiv == 0
+    inv_ok = (single.check_invariants_device(f, vtAv, vtAAv, winv, d)
+              if check else jnp.bool_(True))
 
     v_next, p_next = single.orthogonalize_device(
         f, v_local, Av_local, p_local, d, vtAv, vtAAv, winv)
     v_out = jnp.where(stop, v_local, v_next)
     p_out = jnp.where(stop, p_local, p_next)
-    return v_out, p_out, tmp, vtAv, vtAAv, winv, d, stop
+    return v_out, p_out, tmp, vtAv, vtAAv, winv, d, stop, inv_ok
 
 
 class ShardedBlockLanczos:
@@ -97,12 +99,12 @@ class ShardedBlockLanczos:
         v_spec = P(ROWS_AXIS, None)
         tmp_spec = P(COLS_AXIS, None)
         rep2 = P(None, None)
-        body = partial(_local_step, self.f, self.ops)
+        body = partial(_local_step, self.f, self.ops, check_invariants)
         smapped = jax.shard_map(
             body, mesh=self.mesh,
             in_specs=(nnz_spec,) * 8 + (v_spec, v_spec),
             out_specs=(v_spec, v_spec, tmp_spec, rep2, rep2, rep2,
-                       P(None), P()))
+                       P(None), P(), P()))
         self._step = jax.jit(smapped, donate_argnums=(8, 9))
 
     def initial_block(self):
@@ -148,10 +150,11 @@ class ShardedBlockLanczos:
             if 0 < stop_after == n_iterations:
                 stopped_by_limit = True
                 break
-            v, p_blk, tmp, vtAv, vtAAv, winv, d, stop = \
+            v, p_blk, tmp, vtAv, vtAAv, winv, d, stop, inv_ok = \
                 self._step(*args, v, p_blk)
-            if self.check_invariants:
+            if self.check_invariants and not bool(inv_ok):
                 single.check_invariants(self.f.p, vtAv, vtAAv, winv, d)
+                raise AssertionError("device invariant check failed")
             if bool(stop):
                 break
             n_iterations += 1
