@@ -68,10 +68,7 @@ def main():
         p_blk = jax.device_put(
             np.zeros((solver.np_rows, args.n), np.uint32),
             solver._vec_sharding)
-        sargs = (solver.ops.first_out, solver.ops.first_in,
-                 solver.ops.first_val, solver.ops.first_rowptr,
-                 solver.ops.second_out, solver.ops.second_in,
-                 solver.ops.second_val, solver.ops.second_rowptr)
+        sargs = solver._step_args()
         v, p_blk, *rest = solver._step(*sargs, v, p_blk)   # compile+warm
         jax.block_until_ready(v)
         t0 = time.perf_counter()

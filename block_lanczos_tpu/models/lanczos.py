@@ -77,8 +77,8 @@ def iteration_step(f: GFp, first_op: SparseOp, second_op: SparseOp,
     second_op: tmp (Mp) -> Av (Np)
     Returns (v_next, p_next, tmp, Av, vtAv, vtAAv, winv, d, stop, inv_ok).
     """
-    tmp = spmm.spmv_block(f, first_op, v, out_rows=mp_rows)
-    Av = spmm.spmv_block(f, second_op, tmp, out_rows=np_rows)
+    tmp = spmm.apply_op(f, first_op, v, out_rows=mp_rows)
+    Av = spmm.apply_op(f, second_op, tmp, out_rows=np_rows)
     vtAv = dense.gram_mod(f, v, Av)
     vtAAv = dense.gram_mod(f, Av, Av)
     winv, d, npiv = semi_inverse_device(f, vtAv)
@@ -167,12 +167,12 @@ class BlockLanczos:
 
     def __init__(self, M: COOMatrix, n: int = 1, right: bool = False,
                  pad_multiple: int = 8, check_invariants: bool = True,
-                 seed=None):
+                 seed=None, layout: str = "hybrid"):
         self.f = GFp.make(M.prime)
         self.n = int(n)
         self.right = bool(right)
         self.check_invariants = check_invariants
-        self.sp = SpMatrix.from_coo(self.f, M)
+        self.sp = SpMatrix.from_coo(self.f, M, layout=layout)
         # effective dimensions: the kernel vector lives on N_eff
         self.n_eff = M.ncols if right else M.nrows
         self.m_eff = M.nrows if right else M.ncols

@@ -151,9 +151,18 @@ class SpMatrix:
         return cls(nrows, ncols, nnz, fwd, bwd)
 
     @staticmethod
-    def from_coo(f: GFp, M: COOMatrix, chunk: int = DEFAULT_CHUNK) -> "SpMatrix":
-        fwd = make_sparse_op(f, M.i, M.j, M.x, M.nrows, M.ncols, chunk)
-        bwd = make_sparse_op(f, M.j, M.i, M.x, M.ncols, M.nrows, chunk)
+    def from_coo(f: GFp, M: COOMatrix, chunk: int = DEFAULT_CHUNK,
+                 layout: str = "hybrid") -> "SpMatrix":
+        if layout == "hybrid":
+            fwd = make_hybrid_op(f, M.i, M.j, M.x, M.nrows, M.ncols,
+                                 chunk=chunk)
+            bwd = make_hybrid_op(f, M.j, M.i, M.x, M.ncols, M.nrows,
+                                 chunk=chunk)
+        elif layout == "coo":
+            fwd = make_sparse_op(f, M.i, M.j, M.x, M.nrows, M.ncols, chunk)
+            bwd = make_sparse_op(f, M.j, M.i, M.x, M.ncols, M.nrows, chunk)
+        else:
+            raise ValueError(f"unknown layout {layout!r}")
         return SpMatrix(M.nrows, M.ncols, M.nnz, fwd, bwd)
 
 
@@ -183,14 +192,12 @@ def _spmv_prefix(f: GFp, op: SparseOp, x, out_rows: int):
     n = x.shape[1]
     prod = gfp.mont_mul(f, op.val_mont[:, None], x[op.in_idx])  # (nnzp, n)
     hi, lo = gfp.limb_split(prod)
-    zero = jnp.zeros((1, n), u32)
-    ph = jnp.concatenate([zero, jnp.cumsum(hi, axis=0, dtype=u32)])
-    pl = jnp.concatenate([zero, jnp.cumsum(lo, axis=0, dtype=u32)])
-    lo_b = op.rowptr[:-1]
-    hi_b = op.rowptr[1:]
-    yh = ph[hi_b] - ph[lo_b]   # wrap-exact: true segment sums < 2^32
-    yl = pl[hi_b] - pl[lo_b]
-    y = gfp.limb_combine(f, yh, yl)
+    # one fused prefix over both limbs (2n lanes) and one boundary gather
+    hl = jnp.concatenate([hi, lo], axis=1)            # (nnzp, 2n)
+    pref = jnp.cumsum(hl, axis=0, dtype=u32)
+    pref = jnp.concatenate([jnp.zeros((1, 2 * n), u32), pref])
+    seg = pref[op.rowptr[1:]] - pref[op.rowptr[:-1]]  # wrap-exact (< 2^32)
+    y = gfp.limb_combine(f, seg[:, :n], seg[:, n:])
     if out_rows > op.out_dim:
         y = jnp.pad(y, ((0, out_rows - op.out_dim), (0, 0)))
     return y
@@ -227,6 +234,166 @@ def _spmv_scan(f: GFp, op: SparseOp, x, out_rows: int):
     y0 = jnp.zeros((out_rows, n), u32)
     y, _ = jax.lax.scan(body, y0, chunks)
     return y
+
+
+# ---------------------------------------------------------------------------
+# Hybrid ELL + spill layout — the production SpMV path
+# ---------------------------------------------------------------------------
+#
+# The prefix-sum path reads/writes O(nnz * n) prefix state; measured on TPU
+# the gather is row-count-bound (~3ns/row, independent of n), so a k-loop
+# over a fixed-width ELL slab — L gathers of (rows, n) with in-register
+# modadd accumulation — is 1.8x (n=4) to 4.5x (n=64) faster.  Rows denser
+# than the chosen width spill their excess entries to a small COO sidecar
+# handled by the prefix path, which keeps the slab width near the mean nnz
+# per row even for skewed matrices.  Static shapes everywhere.
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class HybridOp:
+    """y[r] = sum_k vals[r,k] * x[cols[r,k]]  (+ spill)  exactly mod p."""
+    out_dim: int
+    in_dim: int
+    nnz: int
+    ell: int               # slab width L (static)
+    cols: jax.Array        # (out_pad, L) int32
+    vals: jax.Array        # (out_pad, L) uint32, Montgomery form
+    spill: SparseOp        # possibly empty (nnz == 0)
+
+    def tree_flatten(self):
+        return ((self.cols, self.vals, self.spill),
+                (self.out_dim, self.in_dim, self.nnz, self.ell))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        cols, vals, spill = children
+        out_dim, in_dim, nnz, ell = aux
+        return cls(out_dim, in_dim, nnz, ell, cols, vals, spill)
+
+
+def choose_ell_width(counts: np.ndarray, spill_cost: float = 3.0) -> int:
+    """Pick the slab width minimizing  rows*L + spill_cost*spill_nnz(L).
+
+    spill_cost models the prefix path's per-entry overhead vs a slab slot.
+    """
+    counts = np.asarray(counts)
+    if counts.size == 0 or counts.max() == 0:
+        return 1
+    cands = np.unique(np.concatenate([
+        np.percentile(counts[counts > 0], [50, 75, 90, 95, 99, 100])
+        .astype(np.int64),
+        [1, int(counts.mean() + 1)]]))
+    cands = cands[cands >= 1]
+    best, best_cost = 1, None
+    for L in cands:
+        spill = np.maximum(counts - L, 0).sum()
+        cost = float(len(counts) * L + spill_cost * spill)
+        if best_cost is None or cost < best_cost:
+            best, best_cost = int(L), cost
+    return best
+
+
+def build_hybrid_arrays(f: GFp, out_idx, in_idx, vals, out_dim: int,
+                        out_pad: int, ell: int,
+                        chunk: int = DEFAULT_CHUNK,
+                        spill_pad_to: int | None = None, sort: bool = True):
+    """Host-side construction of the ELL slab + spill COO (NumPy arrays).
+
+    Returns (cols2d, vals2d, spill_tuple, nnz) where spill_tuple is the
+    build_op_arrays output for the overflow entries.
+    """
+    out_idx = np.asarray(out_idx, np.int64)
+    in_idx = np.asarray(in_idx, np.int64)
+    vals = np.asarray(vals, np.uint32)
+    if sort:
+        order = np.lexsort((in_idx, out_idx))
+        out_idx, in_idx, vals = out_idx[order], in_idx[order], vals[order]
+    nnz = len(vals)
+    counts = np.bincount(out_idx, minlength=out_dim) if nnz else \
+        np.zeros(out_dim, np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos = np.arange(nnz) - np.repeat(starts, counts)
+
+    if f.use_mont:
+        vm = ((vals.astype(np.uint64) << 32) % np.uint64(f.p)).astype(np.uint32)
+    else:
+        vm = vals % np.uint32(f.p)
+
+    in_slab = pos < ell
+    cols2d = np.zeros((out_pad, ell), np.int32)
+    vals2d = np.zeros((out_pad, ell), np.uint32)
+    cols2d[out_idx[in_slab], pos[in_slab]] = in_idx[in_slab]
+    vals2d[out_idx[in_slab], pos[in_slab]] = vm[in_slab]
+
+    sp = ~in_slab
+    spill_tuple = build_op_arrays(
+        f, out_idx[sp].astype(np.int32), in_idx[sp].astype(np.int32),
+        vals[sp], out_dim, chunk=chunk, pad_to=spill_pad_to, sort=False)
+    return cols2d, vals2d, spill_tuple, nnz
+
+
+def make_hybrid_op(f: GFp, out_idx, in_idx, vals, out_dim: int, in_dim: int,
+                   out_pad: int | None = None, ell: int | None = None,
+                   chunk: int = DEFAULT_CHUNK) -> HybridOp:
+    if out_pad is None:
+        out_pad = out_dim
+    if ell is None:
+        counts = (np.bincount(np.asarray(out_idx, np.int64),
+                              minlength=out_dim)
+                  if len(vals) else np.zeros(out_dim, np.int64))
+        ell = choose_ell_width(counts)
+    cols2d, vals2d, spill_t, nnz = build_hybrid_arrays(
+        f, out_idx, in_idx, vals, out_dim, out_pad, ell, chunk=chunk)
+    s_o, s_i, s_v, s_nnz, s_rp, s_safe = spill_t
+    spill = SparseOp(out_dim=out_dim, in_dim=in_dim, nnz=s_nnz, chunk=chunk,
+                     seg_safe=s_safe, out_idx=jnp.asarray(s_o),
+                     in_idx=jnp.asarray(s_i), val_mont=jnp.asarray(s_v),
+                     rowptr=jnp.asarray(s_rp))
+    return HybridOp(out_dim=out_dim, in_dim=in_dim, nnz=nnz, ell=ell,
+                    cols=jnp.asarray(cols2d), vals=jnp.asarray(vals2d),
+                    spill=spill)
+
+
+# L-loop unroll limit: beyond this use fori_loop to bound trace size
+_ELL_UNROLL = 32
+
+
+def spmv_hybrid(f: GFp, op: HybridOp, x, out_rows: int | None = None):
+    """y = op * x exactly mod p; returns (out_rows, n), zero-padded."""
+    if out_rows is None:
+        out_rows = op.out_dim
+    n = x.shape[1]
+    out_pad = op.cols.shape[0]
+
+    def slab_step(k, y):
+        ck = jax.lax.dynamic_index_in_dim(op.cols.T, k, 0, keepdims=False)
+        vk = jax.lax.dynamic_index_in_dim(op.vals.T, k, 0, keepdims=False)
+        return gfp.modadd(f, y, gfp.mont_mul(f, vk[:, None], x[ck]))
+
+    y = jnp.zeros((out_pad, n), u32)
+    if op.ell <= _ELL_UNROLL:
+        for k in range(op.ell):
+            y = gfp.modadd(
+                f, y, gfp.mont_mul(f, op.vals[:, k][:, None], x[op.cols[:, k]]))
+    else:
+        y = jax.lax.fori_loop(0, op.ell, slab_step, y)
+
+    if op.spill.nnz != 0:
+        y_spill = spmv_block(f, op.spill, x, out_rows=out_pad)
+        y = gfp.modadd(f, y, y_spill)
+
+    if out_rows > out_pad:
+        y = jnp.pad(y, ((0, out_rows - out_pad), (0, 0)))
+    elif out_rows < out_pad:
+        y = y[:out_rows]
+    return y
+
+
+def apply_op(f: GFp, op, x, out_rows: int | None = None):
+    """Dispatch: y = op * x for either sparse layout."""
+    if isinstance(op, HybridOp):
+        return spmv_hybrid(f, op, x, out_rows)
+    return spmv_block(f, op, x, out_rows)
 
 
 def spmv_reference_np(p: int, nrows, i, j, x, v):

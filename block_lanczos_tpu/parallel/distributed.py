@@ -45,14 +45,14 @@ from block_lanczos_tpu.utils.rng import Xoshiro256Plus
 
 
 def _local_step(f: GFp, ops: shard_lib.ShardedOps, check: bool,
-                fo, fi, fv, frp, so, si, sv, srp, v_local, p_local):
+                first_leaves, second_leaves, v_local, p_local):
     """Per-device body of one Lanczos iteration (runs under shard_map)."""
-    first = ops.local_first(fo[0, 0], fi[0, 0], fv[0, 0], frp[0, 0])
-    second = ops.local_second(so[0, 0], si[0, 0], sv[0, 0], srp[0, 0])
+    first = ops.local_first(first_leaves)
+    second = ops.local_second(second_leaves)
 
-    tmp_partial = spmm.spmv_block(f, first, v_local, out_rows=ops.mband)
+    tmp_partial = spmm.apply_op(f, first, v_local, out_rows=ops.mband)
     tmp = psum_mod(f, tmp_partial, ROWS_AXIS)   # sharded by cols
-    av_partial = spmm.spmv_block(f, second, tmp, out_rows=ops.band)
+    av_partial = spmm.apply_op(f, second, tmp, out_rows=ops.band)
     Av_local = psum_mod(f, av_partial, COLS_AXIS)  # sharded by rows
 
     vtAv = psum_mod(f, dense.gram_mod(f, v_local, Av_local), ROWS_AXIS)
@@ -100,12 +100,14 @@ class ShardedBlockLanczos:
         tmp_spec = P(COLS_AXIS, None)
         rep2 = P(None, None)
         body = partial(_local_step, self.f, self.ops, check_invariants)
+        n_leaves = len(self.ops.first.leaves())
         smapped = jax.shard_map(
             body, mesh=self.mesh,
-            in_specs=(nnz_spec,) * 8 + (v_spec, v_spec),
+            in_specs=((nnz_spec,) * n_leaves, (nnz_spec,) * n_leaves,
+                      v_spec, v_spec),
             out_specs=(v_spec, v_spec, tmp_spec, rep2, rep2, rep2,
                        P(None), P(), P()))
-        self._step = jax.jit(smapped, donate_argnums=(8, 9))
+        self._step = jax.jit(smapped, donate_argnums=(2, 3))
 
     def initial_block(self):
         """Global v0 from the sequential xoshiro stream, then shard."""
@@ -115,10 +117,7 @@ class ShardedBlockLanczos:
         return jax.device_put(v0, self._vec_sharding)
 
     def _step_args(self):
-        ops = self.ops
-        return (ops.first_out, ops.first_in, ops.first_val, ops.first_rowptr,
-                ops.second_out, ops.second_in, ops.second_val,
-                ops.second_rowptr)
+        return (self.ops.first.leaves(), self.ops.second.leaves())
 
     def solve(self, stop_after: int = -1, verbose: bool = False,
               on_iteration: Callable | None = None,

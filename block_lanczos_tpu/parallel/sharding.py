@@ -9,7 +9,7 @@ re-scattered.
 Grid partition over a ("rows", "cols") mesh of shape (R, C): device (r, c)
 owns the nnz whose kernel-dimension index (N-index) falls in row-band r AND
 whose other-dimension index (M-index) falls in col-band c.  The two SpMV
-directions per device:
+directions per device (both in the hybrid ELL+spill layout, see ops.spmm):
 
   first  (tmp partial): in = local N-band of v, out = local M-band
          -> exact psum over "rows" gives tmp sharded by cols
@@ -17,7 +17,10 @@ directions per device:
          -> exact psum over "cols" gives Av sharded by rows (no-op if C==1)
 
 Per-shard operators are stacked on leading (R, C) axes and device_put with
-a NamedSharding, so each device materializes only its own block.
+a NamedSharding, so each device materializes only its own block.  shard_map
+requires identical per-shard shapes, so the ELL width is the max of the
+per-shard cost-model choices and the spill COO is padded to the max shard
+spill.
 """
 
 from __future__ import annotations
@@ -30,9 +33,26 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from block_lanczos_tpu.ops import spmm
 from block_lanczos_tpu.ops.gfp import GFp
-from block_lanczos_tpu.ops.spmm import SparseOp
+from block_lanczos_tpu.ops.spmm import HybridOp, SparseOp
 from block_lanczos_tpu.utils.mmio import COOMatrix
 from block_lanczos_tpu.parallel.mesh import COLS_AXIS, ROWS_AXIS
+
+
+@dataclasses.dataclass
+class _StackedDir:
+    """One SpMV direction: stacked (R, C, ...) hybrid arrays + static meta."""
+    ell: int
+    seg_safe: bool
+    cols: jax.Array          # (R, C, out_band, L) int32
+    vals: jax.Array          # (R, C, out_band, L) uint32
+    spill_out: jax.Array     # (R, C, spill_pad) int32
+    spill_in: jax.Array      # (R, C, spill_pad) int32
+    spill_val: jax.Array     # (R, C, spill_pad) uint32
+    spill_rowptr: jax.Array  # (R, C, out_band + 1) int32
+
+    def leaves(self):
+        return (self.cols, self.vals, self.spill_out, self.spill_in,
+                self.spill_val, self.spill_rowptr)
 
 
 @dataclasses.dataclass
@@ -45,32 +65,28 @@ class ShardedOps:
     mp_rows: int       # padded other dimension   (= mband * C)
     n_eff: int
     m_eff: int
-    # stacked (R, C, padded_nnz) / (R, C, out+1) arrays for each direction
-    first_out: jax.Array
-    first_in: jax.Array
-    first_val: jax.Array
-    first_rowptr: jax.Array
-    second_out: jax.Array
-    second_in: jax.Array
-    second_val: jax.Array
-    second_rowptr: jax.Array
+    first: _StackedDir
+    second: _StackedDir
     chunk: int
-    seg_safe: bool  # True iff EVERY shard's ops are prefix-sum safe
 
     @property
     def n_shards(self) -> int:
         return self.grid[0] * self.grid[1]
 
-    def local_first(self, oi, ii, vm, rp) -> SparseOp:
-        """Local 'first' op inside shard_map (out = local M-band)."""
-        return SparseOp(out_dim=self.mband, in_dim=self.band, nnz=-1,
-                        chunk=self.chunk, seg_safe=self.seg_safe,
-                        out_idx=oi, in_idx=ii, val_mont=vm, rowptr=rp)
+    def _local(self, d: _StackedDir, out_dim: int, in_dim: int,
+               leaves) -> HybridOp:
+        cols, vals, s_o, s_i, s_v, s_rp = (leaf[0, 0] for leaf in leaves)
+        spill = SparseOp(out_dim=out_dim, in_dim=in_dim, nnz=-1,
+                         chunk=self.chunk, seg_safe=d.seg_safe,
+                         out_idx=s_o, in_idx=s_i, val_mont=s_v, rowptr=s_rp)
+        return HybridOp(out_dim=out_dim, in_dim=in_dim, nnz=-1, ell=d.ell,
+                        cols=cols, vals=vals, spill=spill)
 
-    def local_second(self, oi, ii, vm, rp) -> SparseOp:
-        return SparseOp(out_dim=self.band, in_dim=self.mband, nnz=-1,
-                        chunk=self.chunk, seg_safe=self.seg_safe,
-                        out_idx=oi, in_idx=ii, val_mont=vm, rowptr=rp)
+    def local_first(self, leaves) -> HybridOp:
+        return self._local(self.first, self.mband, self.band, leaves)
+
+    def local_second(self, leaves) -> HybridOp:
+        return self._local(self.second, self.band, self.mband, leaves)
 
 
 def _band_size(dim: int, parts: int, multiple: int) -> int:
@@ -90,46 +106,63 @@ def partition_matrix(f: GFp, M: COOMatrix, right: bool,
 
     band = _band_size(n_eff, R, pad_multiple)
     mband = _band_size(m_eff, C, pad_multiple)
-    np_rows = band * R
-    mp_rows = mband * C
 
     rshard = key // band
     cshard = other // mband
     first_parts, second_parts = [], []
-    max_nnz = 1
     for r in range(R):
         for c in range(C):
             sel = (rshard == r) & (cshard == c)
             lk = (key[sel] - r * band).astype(np.int32)     # local N-index
             lo = (other[sel] - c * mband).astype(np.int32)  # local M-index
             xv = M.x[sel]
-            max_nnz = max(max_nnz, len(xv))
             first_parts.append((lo, lk, xv))   # out = local M, in = local N
             second_parts.append((lk, lo, xv))  # out = local N, in = local M
 
-    def build_stack(parts, out_dim):
-        outs, ins, vals, rps = [], [], [], []
-        safe = True
+    nnz_sharding = NamedSharding(mesh, P(ROWS_AXIS, COLS_AXIS))
+
+    def build_dir(parts, out_dim) -> _StackedDir:
+        # uniform slab width: max of per-shard cost-model choices
+        ell = 1
+        for (oi, _ii, _xv) in parts:
+            counts = (np.bincount(oi, minlength=out_dim) if len(oi)
+                      else np.zeros(out_dim, np.int64))
+            ell = max(ell, spmm.choose_ell_width(counts))
+        # first pass: spill sizes -> common pad
+        spill_pad = 1
+        built = []
         for (oi, ii, xv) in parts:
-            o, i, v, _, rp, s = spmm.build_op_arrays(
-                f, oi, ii, xv, out_dim, chunk=chunk, pad_to=max_nnz)
-            outs.append(o); ins.append(i); vals.append(v); rps.append(rp)
-            safe = safe and s
-        shard = NamedSharding(mesh, P(ROWS_AXIS, COLS_AXIS))
+            arrs = spmm.build_hybrid_arrays(
+                f, oi, ii, xv, out_dim, out_dim, ell, chunk=chunk)
+            built.append(arrs)
+            spill_pad = max(spill_pad, arrs[2][0].shape[0])
+        # rebuild spills padded to the common size
+        cols_l, vals_l, so_l, si_l, sv_l, srp_l = [], [], [], [], [], []
+        seg_safe = True
+        for (cols2d, vals2d, spill_t, _nnz), (oi, ii, xv) in zip(built, parts):
+            if spill_t[0].shape[0] != spill_pad:
+                _c, _v, spill_t, _n = spmm.build_hybrid_arrays(
+                    f, oi, ii, xv, out_dim, out_dim, ell, chunk=chunk,
+                    spill_pad_to=spill_pad)
+            s_o, s_i, s_v, _s_nnz, s_rp, s_safe = spill_t
+            seg_safe = seg_safe and s_safe
+            cols_l.append(cols2d); vals_l.append(vals2d)
+            so_l.append(s_o); si_l.append(s_i); sv_l.append(s_v)
+            srp_l.append(s_rp)
 
         def stack(xs):
-            arr = np.stack(xs).reshape(R, C, -1)
-            return jax.device_put(arr, shard)
+            arr = np.stack(xs)
+            arr = arr.reshape((R, C) + arr.shape[1:])
+            return jax.device_put(arr, nnz_sharding)
 
-        return stack(outs), stack(ins), stack(vals), stack(rps), safe
+        return _StackedDir(ell=ell, seg_safe=seg_safe,
+                           cols=stack(cols_l), vals=stack(vals_l),
+                           spill_out=stack(so_l), spill_in=stack(si_l),
+                           spill_val=stack(sv_l), spill_rowptr=stack(srp_l))
 
-    f_o, f_i, f_v, f_rp, f_safe = build_stack(first_parts, mband)
-    s_o, s_i, s_v, s_rp, s_safe = build_stack(second_parts, band)
+    first = build_dir(first_parts, mband)
+    second = build_dir(second_parts, band)
     return ShardedOps(grid=(R, C), band=band, mband=mband,
-                      np_rows=np_rows, mp_rows=mp_rows,
+                      np_rows=band * R, mp_rows=mband * C,
                       n_eff=n_eff, m_eff=m_eff,
-                      first_out=f_o, first_in=f_i, first_val=f_v,
-                      first_rowptr=f_rp,
-                      second_out=s_o, second_in=s_i, second_val=s_v,
-                      second_rowptr=s_rp,
-                      chunk=chunk, seg_safe=f_safe and s_safe)
+                      first=first, second=second, chunk=chunk)

@@ -195,3 +195,65 @@ def test_spmv_empty_rows_and_cols(rng):
                               np.zeros(0, np.uint32), 4, 5)
     got0 = np.asarray(spmm.spmv_block(f, op0, jnp.asarray(v[:5])))
     assert (got0 == 0).all()
+
+
+@pytest.mark.parametrize("p", [2, 65537, 1073741789])
+@pytest.mark.parametrize("n", [1, 4])
+def test_spmv_hybrid(rng, p, n):
+    f = GFp.make(p)
+    nrows, ncols, nnz = 50, 37, 500
+    i, j, x = rand_coo(rng, nrows, ncols, nnz, p)
+    op = spmm.make_hybrid_op(f, i, j, x, nrows, ncols)
+    v = rng.integers(0, p, (ncols, n), dtype=np.uint64).astype(np.uint32)
+    got = np.asarray(spmm.spmv_hybrid(f, op, jnp.asarray(v)))
+    want = spmm.spmv_reference_np(p, nrows, i, j, x, v)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_spmv_hybrid_skewed_spill(rng):
+    """One dense row forces spill entries; slab stays near the mean width."""
+    p = 1073741789
+    f = GFp.make(p)
+    nrows, ncols = 64, 200
+    # sparse background + one dense row
+    i, j, x = rand_coo(rng, nrows, ncols, 300, p)
+    dense_j = np.arange(ncols, dtype=np.int32)
+    i = np.concatenate([i, np.full(ncols, 7, np.int32)])
+    j = np.concatenate([j, dense_j])
+    x = np.concatenate([x, rng.integers(1, p, ncols, dtype=np.uint64)
+                        .astype(np.uint32)])
+    op = spmm.make_hybrid_op(f, i, j, x, nrows, ncols)
+    assert op.ell < ncols          # slab did NOT blow up to the dense row
+    assert op.spill.nnz > 0        # the dense row spilled
+    v = rng.integers(0, p, (ncols, 3), dtype=np.uint64).astype(np.uint32)
+    got = np.asarray(spmm.spmv_hybrid(f, op, jnp.asarray(v)))
+    want = spmm.spmv_reference_np(p, nrows, i, j, x, v)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_spmv_hybrid_wide_slab_fori(rng):
+    """ell > unroll limit exercises the fori_loop slab walk."""
+    p = 65537
+    f = GFp.make(p)
+    nrows, ncols = 8, 128
+    i = np.repeat(np.arange(nrows, dtype=np.int32), 100)
+    j = np.tile(np.arange(100, dtype=np.int32), nrows)
+    x = rng.integers(1, p, nrows * 100, dtype=np.uint64).astype(np.uint32)
+    op = spmm.make_hybrid_op(f, i, j, x, nrows, ncols, ell=100)
+    assert op.ell > spmm._ELL_UNROLL
+    v = rng.integers(0, p, (ncols, 2), dtype=np.uint64).astype(np.uint32)
+    got = np.asarray(spmm.spmv_hybrid(f, op, jnp.asarray(v)))
+    want = spmm.spmv_reference_np(p, nrows, i, j, x, v)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_spmv_hybrid_out_pad(rng):
+    p = 65537
+    f = GFp.make(p)
+    i, j, x = rand_coo(rng, 20, 20, 100, p)
+    op = spmm.make_hybrid_op(f, i, j, x, 20, 20, out_pad=24)
+    v = rng.integers(0, p, (20, 3), dtype=np.uint64).astype(np.uint32)
+    got = np.asarray(spmm.spmv_hybrid(f, op, jnp.asarray(v), out_rows=32))
+    want = spmm.spmv_reference_np(p, 20, i, j, x, v)
+    np.testing.assert_array_equal(got[:20], want)
+    assert (got[20:] == 0).all()
