@@ -55,17 +55,19 @@ def orthogonalize_device(f: GFp, v, Av, p_blk, d, vtAv, vtAAv, winv):
     v, Av, p_blk: (Np, n); d: (n,) 0/1; the small mats: (n, n).
     Returns (v_next, p_next).  Zero padding rows stay zero.
     """
+    n = d.shape[0]
     dmask = d.astype(bool)[None, :]          # column mask
     spliced = jnp.where(dmask, vtAAv, vtAv)
     c = gfp.modneg(f, dense.matmul_nn_mod(f, winv, spliced))
     vtAvd = jnp.where(dmask, gfp.modneg(f, vtAv), u32(0))
 
-    v_next = jnp.where(dmask, Av, v)
-    v_next = gfp.modadd(f, v_next, dense.matmul_mod(f, v, c))
-    v_next = gfp.modadd(f, v_next, dense.matmul_mod(f, p_blk, vtAvd))
+    # one fused (N, 2n) x (2n, 2n) pass computes v*c + p*vtAvd AND v*winv:
+    #   [v | p] @ [[c, winv], [vtAvd, 0]] = [v*c + p*vtAvd | v*winv]
+    rhs = jnp.block([[c, winv], [vtAvd, jnp.zeros((n, n), u32)]])
+    upd = dense.matmul_mod(f, jnp.concatenate([v, p_blk], axis=1), rhs)
 
-    p_next = jnp.where(dmask, u32(0), p_blk)
-    p_next = gfp.modadd(f, p_next, dense.matmul_mod(f, v, winv))
+    v_next = gfp.modadd(f, jnp.where(dmask, Av, v), upd[:, :n])
+    p_next = gfp.modadd(f, jnp.where(dmask, u32(0), p_blk), upd[:, n:])
     return v_next, p_next
 
 
@@ -79,8 +81,10 @@ def iteration_step(f: GFp, first_op: SparseOp, second_op: SparseOp,
     """
     tmp = spmm.apply_op(f, first_op, v, out_rows=mp_rows)
     Av = spmm.apply_op(f, second_op, tmp, out_rows=np_rows)
-    vtAv = dense.gram_mod(f, v, Av)
-    vtAAv = dense.gram_mod(f, Av, Av)
+    # both Gram products in ONE pass: [v | Av]^T * Av
+    n = v.shape[1]
+    grams = dense.gram_mod(f, jnp.concatenate([v, Av], axis=1), Av)
+    vtAv, vtAAv = grams[:n], grams[n:]
     winv, d, npiv = semi_inverse_device(f, vtAv)
     stop = npiv == 0
     inv_ok = (check_invariants_device(f, vtAv, vtAAv, winv, d)

@@ -55,8 +55,10 @@ def _local_step(f: GFp, ops: shard_lib.ShardedOps, check: bool,
     av_partial = spmm.apply_op(f, second, tmp, out_rows=ops.band)
     Av_local = psum_mod(f, av_partial, COLS_AXIS)  # sharded by rows
 
-    vtAv = psum_mod(f, dense.gram_mod(f, v_local, Av_local), ROWS_AXIS)
-    vtAAv = psum_mod(f, dense.gram_mod(f, Av_local, Av_local), ROWS_AXIS)
+    n = v_local.shape[1]
+    grams = psum_mod(f, dense.gram_mod(
+        f, jnp.concatenate([v_local, Av_local], axis=1), Av_local), ROWS_AXIS)
+    vtAv, vtAAv = grams[:n], grams[n:]
 
     winv, d, npiv = semi_inverse_device(f, vtAv)  # redundant on every device
     stop = npiv == 0
