@@ -181,6 +181,8 @@ def spmv_block(f: GFp, op: SparseOp, x, out_rows: int | None = None):
     uint32 wrap-around keeps the differences exact because every true
     segment sum of 15-bit limbs stays below 2^32 (seg_safe).
     """
+    if isinstance(op, HybridOp):
+        return spmv_hybrid(f, op, x, out_rows)
     if out_rows is None:
         out_rows = op.out_dim
     if op.seg_safe:
