@@ -71,13 +71,18 @@ def orthogonalize_device(f: GFp, v, Av, p_blk, d, vtAv, vtAAv, winv):
     return v_next, p_next
 
 
-def iteration_step(f: GFp, first_op: SparseOp, second_op: SparseOp,
-                   mp_rows: int, np_rows: int, check: bool, v, p_blk):
+def iteration_step(f: GFp, mp_rows: int, np_rows: int, check: bool,
+                   first_op: SparseOp, second_op: SparseOp, v, p_blk):
     """One full Lanczos iteration on device.
 
     first_op:  v (Np) -> tmp (Mp)   [Mt for left kernel, M for right]
     second_op: tmp (Mp) -> Av (Np)
     Returns (v_next, p_next, tmp, Av, vtAv, vtAAv, winv, d, stop, inv_ok).
+
+    The sparse ops are pytree ARGUMENTS, not closed-over constants: baking
+    multi-MB arrays into the jitted executable as constants makes XLA
+    re-materialize them per call (measured ~900x slower per SpMV on a
+    tunneled TPU); passing them keeps the buffers device-resident.
     """
     tmp = spmm.apply_op(f, first_op, v, out_rows=mp_rows)
     Av = spmm.apply_op(f, second_op, tmp, out_rows=np_rows)
@@ -96,6 +101,43 @@ def iteration_step(f: GFp, first_op: SparseOp, second_op: SparseOp,
     v_out = jnp.where(stop, v, v_next)
     p_out = jnp.where(stop, p_blk, p_next)
     return v_out, p_out, tmp, Av, vtAv, vtAAv, winv, d, stop, inv_ok
+
+
+def multi_iteration_step(f: GFp, mp_rows: int, np_rows: int, check: bool,
+                         first_op: SparseOp, second_op: SparseOp,
+                         v, p_blk, max_steps):
+    """Up to `max_steps` Lanczos iterations in ONE device program.
+
+    A host sync per iteration costs a full host<->device round trip (tens of
+    ms on a tunneled TPU — 1000x one iteration's compute), so the main loop
+    runs as a lax.while_loop that exits early on convergence (or on a failed
+    invariant) and returns how many iterations it completed.  `max_steps` is
+    a traced scalar: the driver can clamp the last block for --stop-after
+    without recompiling.
+
+    Returns (v, p, tmp, Av, vtAv, vtAAv, winv, d, stop, inv_ok, k_done)
+    where k_done INCLUDES the stopping probe iteration when stop is True
+    (the reference does not count it, sequential/lanczos_modp.c:649-656 —
+    the driver subtracts it).
+    """
+    n = v.shape[1]
+    zed = jnp.zeros((n, n), u32)
+    init = (v, p_blk, jnp.zeros((mp_rows, n), u32),
+            jnp.zeros((np_rows, n), u32), zed, zed, zed,
+            jnp.zeros((n,), u32), jnp.bool_(False), jnp.bool_(True),
+            jnp.uint32(0))
+
+    def cond(c):
+        stop, inv_ok, k = c[-3], c[-2], c[-1]
+        return (k < max_steps) & jnp.logical_not(stop) & inv_ok
+
+    def body(c):
+        v, p_blk = c[0], c[1]
+        out = iteration_step(f, mp_rows, np_rows, check,
+                             first_op, second_op, v, p_blk)
+        return (*out, c[-1] + jnp.uint32(1))
+
+    return jax.lax.while_loop(cond, body, init)
 
 
 def check_invariants_device(f: GFp, vtAv, vtAAv, winv, d):
@@ -171,7 +213,8 @@ class BlockLanczos:
 
     def __init__(self, M: COOMatrix, n: int = 1, right: bool = False,
                  pad_multiple: int = 8, check_invariants: bool = True,
-                 seed=None, layout: str = "hybrid"):
+                 seed=None, layout: str = "hybrid",
+                 sync_every: int | None = None):
         self.f = GFp.make(M.prime)
         self.n = int(n)
         self.right = bool(right)
@@ -187,10 +230,21 @@ class BlockLanczos:
         self.expected_iterations = 1 + self.m_eff // self.n
         self._rng = Xoshiro256Plus() if seed is None else Xoshiro256Plus(seed)
 
-        self._step = jax.jit(
-            partial(iteration_step, self.f, self.first_op, self.second_op,
-                    self.mp_rows, self.np_rows, check_invariants),
-            donate_argnums=(0, 1))
+        step = jax.jit(
+            partial(iteration_step, self.f, self.mp_rows, self.np_rows,
+                    check_invariants),
+            donate_argnums=(2, 3))
+        self._step = lambda v, p_blk: step(self.first_op, self.second_op,
+                                           v, p_blk)
+        # sync_every: iterations per host sync.  None = adaptive (start at 1,
+        # double until a block takes ~0.25 s wall); int = fixed.
+        self.sync_every = sync_every
+        multi = jax.jit(
+            partial(multi_iteration_step, self.f, self.mp_rows, self.np_rows,
+                    check_invariants),
+            donate_argnums=(2, 3))
+        self._multi_step = lambda v, p_blk, k: multi(
+            self.first_op, self.second_op, v, p_blk, jnp.uint32(k))
 
     def initial_block(self) -> jnp.ndarray:
         """v0: xoshiro row-major over n_eff*n entries, zero-padded."""
@@ -220,22 +274,38 @@ class BlockLanczos:
         n_iterations = start_iter
         tmp = Av = None
         stopped_by_limit = False
+        # iterations per host sync: fixed, or adaptive doubling (1 -> 1024)
+        # targeting ~0.25 s blocks so verbosity/checkpoint cadence survives
+        block = self.sync_every or 1
+        _ADAPT_CAP, _ADAPT_TARGET_S = 1024, 0.25
         while True:
-            if 0 < stop_after == n_iterations:
+            remaining = (stop_after - n_iterations if stop_after > 0
+                         else block)
+            if remaining <= 0:
                 stopped_by_limit = True
                 break
-            v, p_blk, tmp, Av, vtAv, vtAAv, winv, d, stop, inv_ok = \
-                self._step(v, p_blk)
+            k_ask = min(block, remaining)
+            t_blk = time.time()
+            v, p_blk, tmp, Av, vtAv, vtAAv, winv, d, stop, inv_ok, k_done = \
+                self._multi_step(v, p_blk, k_ask)
+            k_done = int(k_done)
+            stop = bool(stop)
             if self.check_invariants and not bool(inv_ok):
+                n_iterations += k_done
                 # reproduce the precise failing assertion on host
                 check_invariants(f.p, vtAv, vtAAv, winv, d)
                 raise AssertionError("device invariant check failed")
-            if bool(stop):
-                # v already holds the pre-update (converged) block
-                break
-            n_iterations += 1
+            # the stopping probe iteration is not counted (reference breaks
+            # before incrementing, sequential/lanczos_modp.c:649-656)
+            n_iterations += k_done - (1 if stop else 0)
             if on_iteration is not None:
                 on_iteration(self, n_iterations, v, p_blk, start)
+            if stop:
+                # v already holds the pre-update (converged) block
+                break
+            if self.sync_every is None and block < _ADAPT_CAP and \
+                    time.time() - t_blk < _ADAPT_TARGET_S:
+                block *= 2
 
         elapsed = time.time() - start
         v_host = np.asarray(v)

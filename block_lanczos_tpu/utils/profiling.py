@@ -48,12 +48,14 @@ def phase_timers(solver, iters: int = 5) -> dict:
     f = solver.f
     v = solver.initial_block()
 
-    spmv1 = jax.jit(lambda v: spmm.spmv_block(
-        f, solver.first_op, v, out_rows=solver.mp_rows))
-    t_spmv1, tmp = _timed(spmv1, v, iters=iters)
-    spmv2 = jax.jit(lambda t: spmm.spmv_block(
-        f, solver.second_op, t, out_rows=solver.np_rows))
-    t_spmv2, Av = _timed(spmv2, tmp, iters=iters)
+    # ops passed as pytree args (closed-over arrays become executable
+    # constants that get re-materialized per call — see models/lanczos.py)
+    spmv1 = jax.jit(lambda op, v: spmm.apply_op(
+        f, op, v, out_rows=solver.mp_rows))
+    t_spmv1, tmp = _timed(spmv1, solver.first_op, v, iters=iters)
+    spmv2 = jax.jit(lambda op, t: spmm.apply_op(
+        f, op, t, out_rows=solver.np_rows))
+    t_spmv2, Av = _timed(spmv2, solver.second_op, tmp, iters=iters)
     gram = jax.jit(lambda a, b: dense.gram_mod(f, a, b))
     t_gram, vtAv = _timed(gram, v, Av, iters=iters)
     semi = jax.jit(lambda u: semi_inverse_device(f, u))

@@ -37,7 +37,8 @@ def test_resume_matches_uninterrupted(tmp_path):
     M = mmio.load_mtx(os.path.join(GOLDEN, "left_p65537_n4.mtx"), prime)
     full = BlockLanczos(M, n=n).solve()
 
-    solver_b = BlockLanczos(M, n=n)
+    # sync_every=1 -> exact per-iteration callbacks (default is blocked)
+    solver_b = BlockLanczos(M, n=n, sync_every=1)
     saved = {}
 
     def save_at_5(slv, iteration, v, p_blk, start):
