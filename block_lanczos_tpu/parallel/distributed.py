@@ -72,6 +72,38 @@ def _local_step(f: GFp, ops: shard_lib.ShardedOps, check: bool,
     return v_out, p_out, tmp, vtAv, vtAAv, winv, d, stop, inv_ok
 
 
+def _local_multi_step(f: GFp, ops: shard_lib.ShardedOps, check: bool,
+                      first_leaves, second_leaves, v_local, p_local,
+                      max_steps):
+    """Per-device body: up to max_steps iterations in one lax.while_loop.
+
+    Same host-sync amortization as models.lanczos.multi_iteration_step.
+    The loop condition is identical on every device (stop/inv_ok derive from
+    psum'd — replicated — n x n matrices), so collectives inside the loop
+    stay aligned across the mesh.
+    """
+    n = v_local.shape[1]
+    zed = jnp.zeros((n, n), u32)
+    # tmp stays col-sharded across iterations -> its zero init must carry
+    # the matching varying-manual-axes type ({V:cols})
+    tmp0 = jax.lax.pcast(jnp.zeros((ops.mband, n), u32), (COLS_AXIS,),
+                         to="varying")
+    init = (v_local, p_local, tmp0, zed, zed, zed,
+            jnp.zeros((n,), u32), jnp.bool_(False), jnp.bool_(True),
+            jnp.uint32(0))
+
+    def cond(c):
+        stop, inv_ok, k = c[-3], c[-2], c[-1]
+        return (k < max_steps) & jnp.logical_not(stop) & inv_ok
+
+    def body(c):
+        out = _local_step(f, ops, check, first_leaves, second_leaves,
+                          c[0], c[1])
+        return (*out, c[-1] + jnp.uint32(1))
+
+    return jax.lax.while_loop(cond, body, init)
+
+
 class ShardedBlockLanczos:
     """Drop-in multi-device variant of models.BlockLanczos.
 
@@ -81,7 +113,8 @@ class ShardedBlockLanczos:
 
     def __init__(self, M: COOMatrix, n: int = 1, right: bool = False,
                  mesh: jax.sharding.Mesh | None = None,
-                 pad_multiple: int = 8, check_invariants: bool = True):
+                 pad_multiple: int = 8, check_invariants: bool = True,
+                 sync_every: int | None = None):
         from block_lanczos_tpu.parallel.mesh import make_mesh
         self.mesh = mesh if mesh is not None else make_mesh()
         self.f = GFp.make(M.prime)
@@ -110,6 +143,17 @@ class ShardedBlockLanczos:
             out_specs=(v_spec, v_spec, tmp_spec, rep2, rep2, rep2,
                        P(None), P(), P()))
         self._step = jax.jit(smapped, donate_argnums=(2, 3))
+
+        mbody = partial(_local_multi_step, self.f, self.ops,
+                        check_invariants)
+        msmapped = jax.shard_map(
+            mbody, mesh=self.mesh,
+            in_specs=((nnz_spec,) * n_leaves, (nnz_spec,) * n_leaves,
+                      v_spec, v_spec, P()),
+            out_specs=(v_spec, v_spec, tmp_spec, rep2, rep2, rep2,
+                       P(None), P(), P(), P()))
+        self._multi_step = jax.jit(msmapped, donate_argnums=(2, 3))
+        self.sync_every = sync_every
 
     def initial_block(self):
         """Global v0 from the sequential xoshiro stream, then shard."""
@@ -147,20 +191,32 @@ class ShardedBlockLanczos:
         start = time.time()
         tmp = None
         stopped_by_limit = False
+        block = self.sync_every or 1
+        _ADAPT_CAP, _ADAPT_TARGET_S = 1024, 0.25
         while True:
-            if 0 < stop_after == n_iterations:
+            remaining = (stop_after - n_iterations if stop_after > 0
+                         else block)
+            if remaining <= 0:
                 stopped_by_limit = True
                 break
-            v, p_blk, tmp, vtAv, vtAAv, winv, d, stop, inv_ok = \
-                self._step(*args, v, p_blk)
+            k_ask = min(block, remaining)
+            t_blk = time.time()
+            v, p_blk, tmp, vtAv, vtAAv, winv, d, stop, inv_ok, k_done = \
+                self._multi_step(*args, v, p_blk, jnp.uint32(k_ask))
+            k_done = int(k_done)
+            stop = bool(stop)
             if self.check_invariants and not bool(inv_ok):
+                n_iterations += k_done
                 single.check_invariants(self.f.p, vtAv, vtAAv, winv, d)
                 raise AssertionError("device invariant check failed")
-            if bool(stop):
-                break
-            n_iterations += 1
+            n_iterations += k_done - (1 if stop else 0)
             if on_iteration is not None:
                 on_iteration(self, n_iterations, v, p_blk, start)
+            if stop:
+                break
+            if self.sync_every is None and block < _ADAPT_CAP and \
+                    time.time() - t_blk < _ADAPT_TARGET_S:
+                block *= 2
 
         elapsed = time.time() - start
         v_host = np.asarray(jax.device_get(v))
