@@ -24,9 +24,9 @@ import numpy as np
 PRIME = 1073741789
 N_BLOCK = 4
 NROWS, NCOLS, DENSITY, SEED = 300_000, 200_000, 15, 42
-WARMUP_ITERS = 2
-BENCH_ITERS = 8
-REF_ITERS = 3
+WARMUP_ITERS = 4
+BENCH_ITERS = 40
+REF_ITERS = 11
 
 CACHE_DIR = "/tmp/blanczos_bench"
 MTX = os.path.join(CACHE_DIR, f"bench_{NROWS}x{NCOLS}_d{DENSITY}_s{SEED}.mtx")
@@ -42,22 +42,26 @@ def ensure_matrix():
 
 
 def bench_ours(M):
+    """Honest per-iteration wall time: result arrays are MATERIALIZED to
+    host (np.asarray) before reading the clock — jax.block_until_ready does
+    not reliably await execution on tunneled backends (measured returning
+    in microseconds with tens of ms of real work still queued)."""
+    import jax.numpy as jnp
+    import numpy as np
+
     from block_lanczos_tpu.models.lanczos import BlockLanczos
 
     solver = BlockLanczos(M, n=N_BLOCK, check_invariants=False)
-    # warmup (includes compile)
-    import jax
     v = solver.initial_block()
-    import jax.numpy as jnp
     p_blk = jnp.zeros_like(v)
-    for _ in range(WARMUP_ITERS):
-        v, p_blk, *rest = solver._step(v, p_blk)
-    jax.block_until_ready(v)
+    # warmup (includes compile)
+    v, p_blk, *rest = solver._multi_step(v, p_blk, WARMUP_ITERS)
+    np.asarray(v)
     t0 = time.perf_counter()
-    for _ in range(BENCH_ITERS):
-        v, p_blk, *rest = solver._step(v, p_blk)
-    jax.block_until_ready(v)
-    dt = (time.perf_counter() - t0) / BENCH_ITERS
+    v, p_blk, *rest = solver._multi_step(v, p_blk, BENCH_ITERS)
+    np.asarray(v)
+    k_done = int(rest[-1])
+    dt = (time.perf_counter() - t0) / max(k_done, 1)
     return dt
 
 

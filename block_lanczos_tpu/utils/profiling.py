@@ -33,13 +33,22 @@ def trace(path: str):
         jax.profiler.stop_trace()
 
 
+def _materialize(out):
+    """Force execution by pulling results to host.  On tunneled backends
+    jax.block_until_ready can return with work still queued; np.asarray
+    cannot."""
+    import numpy as np
+    for leaf in jax.tree_util.tree_leaves(out):
+        np.asarray(leaf)
+    return out
+
+
 def _timed(fn, *args, iters: int = 5):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    out = _materialize(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _materialize(out)
     return (time.perf_counter() - t0) / iters, out
 
 
