@@ -69,13 +69,16 @@ def main():
             np.zeros((solver.np_rows, args.n), np.uint32),
             solver._vec_sharding)
         sargs = solver._step_args()
-        v, p_blk, *rest = solver._step(*sargs, v, p_blk)   # compile+warm
-        jax.block_until_ready(v)
+        # compile+warm, then time with results MATERIALIZED (block_until_ready
+        # can return with work still queued on tunneled backends)
+        v, p_blk, *rest = solver._multi_step(*sargs, v, p_blk, jnp.uint32(2))
+        np.asarray(v)
         t0 = time.perf_counter()
-        for _ in range(args.iters):
-            v, p_blk, *rest = solver._step(*sargs, v, p_blk)
-        jax.block_until_ready(v)
-        per_iter = (time.perf_counter() - t0) / args.iters
+        v, p_blk, *rest = solver._multi_step(*sargs, v, p_blk,
+                                             jnp.uint32(args.iters))
+        np.asarray(v)
+        k_done = max(int(rest[-1]), 1)
+        per_iter = (time.perf_counter() - t0) / k_done
         nnz_s = 2 * M.nnz / per_iter
         if base is None:
             base = per_iter

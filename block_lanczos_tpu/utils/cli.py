@@ -63,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="force the single-device driver")
     ap.add_argument("--no-checks", action="store_true",
                     help="disable per-iteration invariant checks")
+    ap.add_argument("--sync-every", type=int, default=None, metavar="K",
+                    help="iterations per host sync (device-side loop size); "
+                         "default: adaptive doubling up to 1024. Use 1 for "
+                         "exact per-iteration callbacks")
     return ap
 
 
@@ -83,7 +87,8 @@ def main(argv=None) -> int:
     if args.single:
         from block_lanczos_tpu.models.lanczos import BlockLanczos
         solver = BlockLanczos(M, n=args.n, right=right,
-                              check_invariants=not args.no_checks)
+                              check_invariants=not args.no_checks,
+                              sync_every=args.sync_every)
     else:
         from block_lanczos_tpu.parallel import make_mesh
         from block_lanczos_tpu.parallel.distributed import ShardedBlockLanczos
@@ -93,7 +98,8 @@ def main(argv=None) -> int:
         else:
             mesh = make_mesh(args.devices)
         solver = ShardedBlockLanczos(M, n=args.n, right=right, mesh=mesh,
-                                     check_invariants=not args.no_checks)
+                                     check_invariants=not args.no_checks,
+                                     sync_every=args.sync_every)
 
     resume_state = None
     extra_time = 0.0
