@@ -254,10 +254,31 @@ def mont_pow_const(f: GFpWide, a_mont, e: int):
     return acc
 
 
+def mont_pow_loop(f: GFpWide, a_mont, e: int):
+    """a^e (static e) in Montgomery form via a fori_loop — O(1) trace size.
+
+    Unlike mont_pow_const, the 62 squarings don't unroll into the jaxpr
+    (a 62-bit exponent inside another loop would explode compile time).
+    """
+    shape = jnp.shape(a_mont)[:-1]
+    nbits = max(int(e).bit_length(), 1)
+    bits = jnp.asarray([(int(e) >> (nbits - 1 - k)) & 1
+                        for k in range(nbits)], u32)
+
+    def body(k, acc):
+        acc = mont_mul(f, acc, acc)
+        hit = mont_mul(f, acc, a_mont)
+        return jnp.where((bits[k] == 1)[..., None], hit, acc)
+
+    del shape
+    # the leading bit of e is always 1: start from a_mont directly
+    return jax.lax.fori_loop(1, nbits, body, a_mont)
+
+
 def modinv_device(f: GFpWide, a):
     """a^-1 mod p via Fermat; a standard form, 0 -> 0."""
     am = to_mont(f, a)
-    return from_mont(f, mont_pow_const(f, am, f.p - 2))
+    return from_mont(f, mont_pow_loop(f, am, f.p - 2))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,345 @@
+"""Dense + sparse mod-p kernels for WIDE primes (p < 2^62).
+
+Mirrors ops/dense.py, ops/spmm.py and ops/semi_inverse.py on the
+uint32-pair representation of ops/gfp_wide.py.  Layouts and algorithms are
+identical to the narrow field (hybrid ELL+spill SpMV, chunked exact Gram,
+masked on-device Gauss-Jordan) so the solver drivers stay line-parallel;
+only the scalar arithmetic widens.  Reference parity citations live in the
+narrow modules.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from block_lanczos_tpu.ops import gfp_wide as gw
+from block_lanczos_tpu.ops.gfp import u32
+from block_lanczos_tpu.ops.gfp_wide import GFpWide, N_LIMBS
+
+DEFAULT_CHUNK = 1 << 17
+
+
+# ---------------------------------------------------------------------------
+# Dense block linear algebra
+# ---------------------------------------------------------------------------
+
+def matmul_mont(f: GFpWide, X, Bm):
+    """(N, k, 2) @ (k, m, 2) mod p, Bm Montgomery-form; k, m block-sized."""
+    prod = gw.mont_mul(f, X[:, :, None, :], Bm[None, :, :, :])  # (N,k,m,2)
+    limbs = gw.limb_split(prod)                                  # (N,k,m,5)
+    return gw.limb_combine(f, jnp.sum(limbs, axis=1))            # (N,m,2)
+
+
+def matmul_mod(f: GFpWide, X, B):
+    return matmul_mont(f, X, gw.to_mont(f, B))
+
+
+def _gram_chunk_rows(n_cols_sq: int) -> int:
+    budget = max(128, (1 << 22) // max(n_cols_sq * N_LIMBS, 1))
+    return min(gw.LIMB_SUM_MAX, budget)
+
+
+def gram_mod(f: GFpWide, V, W):
+    """V^T @ W mod p for (N, a, 2) and (N, b, 2); exact, any N."""
+    N, a = V.shape[0], V.shape[1]
+    b = W.shape[1]
+    chunk = _gram_chunk_rows(a * b)
+    Wm = gw.to_mont(f, W)
+
+    def chunk_gram(Vc, Wc):
+        prod = gw.mont_mul(f, Vc[:, :, None, :], Wc[:, None, :, :])
+        limbs = gw.limb_split(prod)            # (c, a, b, 5)
+        return gw.limb_combine(f, jnp.sum(limbs, axis=0))
+
+    if N <= chunk:
+        return chunk_gram(V, Wm)
+    pad = (-N) % chunk
+    if pad:
+        V = jnp.pad(V, ((0, pad), (0, 0), (0, 0)))
+        Wm = jnp.pad(Wm, ((0, pad), (0, 0), (0, 0)))
+    nchunks = (N + pad) // chunk
+
+    def body(acc, vw):
+        Vc, Wc = vw
+        return gw.modadd(f, acc, chunk_gram(Vc, Wc)), None
+
+    acc0 = jnp.zeros((a, b, 2), u32)
+    acc, _ = jax.lax.scan(
+        body, acc0,
+        (V.reshape(nchunks, chunk, a, 2), Wm.reshape(nchunks, chunk, b, 2)))
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# Semi-inverse (two-phase masked Gauss-Jordan), wide
+# ---------------------------------------------------------------------------
+
+def _is_zero(x):
+    return (x[..., 0] == 0) & (x[..., 1] == 0)
+
+
+def _eliminate_device(f: GFpWide, M, W):
+    """Masked sweep on (n, n, 2) pair matrices; returns (M, W, d, npiv)."""
+    n = M.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+
+    def body(j, state):
+        M, W, d, npiv = state
+        col = jax.lax.dynamic_index_in_dim(M, j, 1, keepdims=False)  # (n, 2)
+        cand = (~_is_zero(col)) & (rows >= j)
+        found = jnp.any(cand)
+        pivot = jnp.argmax(cand).astype(jnp.int32)
+
+        pivot_val = jax.lax.dynamic_index_in_dim(col, pivot, 0, keepdims=False)
+        safe = jnp.where(_is_zero(pivot_val),
+                         gw.pair(jnp.ones((), u32), jnp.zeros((), u32)),
+                         pivot_val)
+        pinv_m = gw.to_mont(f, gw.modinv_device(f, safe))
+
+        perm = jnp.where(rows == j, pivot, jnp.where(rows == pivot, j, rows))
+        M2 = M[perm]
+        W2 = W[perm]
+        rowj_M = gw.mont_mul(f, M2[j], pinv_m[None, :])
+        rowj_W = gw.mont_mul(f, W2[j], pinv_m[None, :])
+        M2 = jax.lax.dynamic_update_index_in_dim(M2, rowj_M, j, 0)
+        W2 = jax.lax.dynamic_update_index_in_dim(W2, rowj_W, j, 0)
+        colj = jax.lax.dynamic_index_in_dim(M2, j, 1, keepdims=False)
+        mult = gw.modneg(f, colj)                      # (n, 2)
+        is_j = (rows == j)[:, None, None]
+        M3 = jnp.where(is_j, M2, gw.modadd(
+            f, M2, gw.mont_mul(f, mult[:, None, :],
+                               gw.to_mont(f, rowj_M)[None, :, :])))
+        W3 = jnp.where(is_j, W2, gw.modadd(
+            f, W2, gw.mont_mul(f, mult[:, None, :],
+                               gw.to_mont(f, rowj_W)[None, :, :])))
+
+        M = jnp.where(found, M3, M)
+        W = jnp.where(found, W3, W)
+        d = d.at[j].set(found.astype(u32))
+        npiv = npiv + found.astype(jnp.int32)
+        return M, W, d, npiv
+
+    d0 = jnp.zeros(n, u32)
+    return jax.lax.fori_loop(0, n, body, (M, W, d0, jnp.int32(0)))
+
+
+def semi_inverse_device(f: GFpWide, U):
+    """(winv, d, npiv) for an (n, n, 2) pair matrix; jit-safe."""
+    n = U.shape[0]
+    scratch = jnp.zeros_like(U)
+    _, _, d1, _ = _eliminate_device(f, U, scratch)
+    mask = ((d1[:, None] * d1[None, :]) != 0)[..., None]
+    M2 = jnp.where(mask, U, u32(0))
+    eye = jnp.eye(n, dtype=u32) * d1[None, :]
+    W0 = jnp.stack([eye, jnp.zeros_like(eye)], axis=-1)
+    _, W, d, npiv = _eliminate_device(f, M2, W0)
+    return W, d, npiv
+
+
+def semi_inverse_py(p: int, U_obj: np.ndarray):
+    """Host oracle on object-int matrices (same two-phase semantics)."""
+    n = U_obj.shape[0]
+
+    def eliminate(M, W):
+        d = np.zeros(n, np.uint32)
+        npiv = 0
+        for j in range(n):
+            nz = [i for i in range(j, n) if M[i, j] % p != 0]
+            if not nz:
+                continue
+            pivot = nz[0]
+            d[j] = 1
+            npiv += 1
+            pinv = pow(int(M[pivot, j]), p - 2, p)
+            M[pivot] = (M[pivot] * pinv) % p
+            M[[j, pivot]] = M[[pivot, j]]
+            if W is not None:
+                W[pivot] = (W[pivot] * pinv) % p
+                W[[j, pivot]] = W[[pivot, j]]
+            mult = (p - M[:, j]) % p
+            mult[j] = 0
+            M[:] = (M + mult[:, None] * M[j][None, :]) % p
+            if W is not None:
+                W[:] = (W + mult[:, None] * W[j][None, :]) % p
+        return d, npiv
+
+    M = U_obj.astype(object) % p
+    d1, _ = eliminate(M, None)
+    mask = (d1[:, None] & d1[None, :]).astype(bool)
+    M2 = np.where(mask, U_obj % p, 0).astype(object)
+    W = (np.eye(n, dtype=np.uint32) * d1).astype(object)
+    d, npiv = eliminate(M2, W)
+    return W, d, npiv
+
+
+# ---------------------------------------------------------------------------
+# Sparse ops (hybrid ELL + spill), wide values
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class WideSparseOp:
+    """COO direction sorted by out row; val_mont (nnzp, 2) Montgomery pairs."""
+    out_dim: int
+    in_dim: int
+    nnz: int
+    out_idx: jax.Array
+    in_idx: jax.Array
+    val_mont: jax.Array
+    rowptr: jax.Array
+
+    def tree_flatten(self):
+        return ((self.out_idx, self.in_idx, self.val_mont, self.rowptr),
+                (self.out_dim, self.in_dim, self.nnz))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        out_idx, in_idx, val_mont, rowptr = children
+        return cls(*aux, out_idx, in_idx, val_mont, rowptr)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class WideHybridOp:
+    out_dim: int
+    in_dim: int
+    nnz: int
+    ell: int
+    cols: jax.Array     # (out_pad, L) int32
+    vals: jax.Array     # (out_pad, L, 2) Montgomery pairs
+    spill: WideSparseOp
+
+    def tree_flatten(self):
+        return ((self.cols, self.vals, self.spill),
+                (self.out_dim, self.in_dim, self.nnz, self.ell))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        cols, vals, spill = children
+        return cls(*aux, *children)
+
+
+def _to_mont_pairs(f: GFpWide, vals_obj):
+    """object ints -> (..., 2) uint32 Montgomery pairs."""
+    vm = np.asarray(vals_obj, dtype=object)
+    vm = (vm % f.p) * (1 << 64) % f.p
+    return gw.np_pair(vm)
+
+
+def make_wide_hybrid_op(f: GFpWide, out_idx, in_idx, vals, out_dim: int,
+                        in_dim: int, ell: int | None = None,
+                        chunk: int = DEFAULT_CHUNK) -> WideHybridOp:
+    from block_lanczos_tpu.ops.spmm import choose_ell_width
+
+    out_idx = np.asarray(out_idx, np.int64)
+    in_idx = np.asarray(in_idx, np.int64)
+    vals = np.asarray(vals, dtype=object)
+    order = np.lexsort((in_idx, out_idx))
+    out_idx, in_idx, vals = out_idx[order], in_idx[order], vals[order]
+    nnz = len(vals)
+    counts = (np.bincount(out_idx, minlength=out_dim) if nnz
+              else np.zeros(out_dim, np.int64))
+    if ell is None:
+        ell = choose_ell_width(counts)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos = np.arange(nnz) - np.repeat(starts, counts)
+    vm = _to_mont_pairs(f, vals)             # (nnz, 2)
+
+    in_slab = pos < ell
+    cols2d = np.zeros((out_dim, ell), np.int32)
+    vals2d = np.zeros((out_dim, ell, 2), np.uint32)
+    cols2d[out_idx[in_slab], pos[in_slab]] = in_idx[in_slab]
+    vals2d[out_idx[in_slab], pos[in_slab]] = vm[in_slab]
+
+    sp = ~in_slab
+    s_out = out_idx[sp].astype(np.int32)
+    s_in = in_idx[sp].astype(np.int32)
+    s_vm = vm[sp]
+    s_nnz = len(s_out)
+    rowptr = np.searchsorted(s_out, np.arange(out_dim + 1)).astype(np.int32)
+    if s_nnz and int(np.diff(rowptr).max()) > gw.LIMB_SUM_MAX:
+        # a single row denser than 2^17 + ell would overflow the wrapping
+        # prefix trick; widen the slab instead (rare, pathological skew)
+        return make_wide_hybrid_op(
+            f, out_idx, in_idx, vals, out_dim, in_dim,
+            ell=int(ell) + int(np.diff(rowptr).max()) - gw.LIMB_SUM_MAX,
+            chunk=chunk)
+    target = max(s_nnz, 1)
+    pad = target - s_nnz
+    if pad:
+        last = s_out[-1] if s_nnz else np.int32(0)
+        s_out = np.concatenate([s_out, np.full(pad, last, np.int32)])
+        s_in = np.concatenate([s_in, np.zeros(pad, np.int32)])
+        s_vm = np.concatenate([s_vm, np.zeros((pad, 2), np.uint32)])
+    spill = WideSparseOp(out_dim=out_dim, in_dim=in_dim, nnz=s_nnz,
+                         out_idx=jnp.asarray(s_out), in_idx=jnp.asarray(s_in),
+                         val_mont=jnp.asarray(s_vm),
+                         rowptr=jnp.asarray(rowptr))
+    return WideHybridOp(out_dim=out_dim, in_dim=in_dim, nnz=nnz, ell=int(ell),
+                        cols=jnp.asarray(cols2d), vals=jnp.asarray(vals2d),
+                        spill=spill)
+
+
+def _spmv_spill_prefix(f: GFpWide, op: WideSparseOp, x, out_rows: int):
+    """Scatter-free spill reduction: 5-limb prefix sums + rowptr diffs.
+
+    Safe because no output row holds more than 2^17 spill entries
+    (the slab absorbed the first `ell` of every row, and rows that dense
+    would have driven `ell` up — the same argument as the narrow path).
+    """
+    n = x.shape[1]
+    prod = gw.mont_mul(f, op.val_mont[:, None, :], x[op.in_idx])  # (nnzp,n,2)
+    limbs = gw.limb_split(prod).reshape(prod.shape[0], n * N_LIMBS)
+    pref = jnp.cumsum(limbs, axis=0, dtype=u32)
+    pref = jnp.concatenate([jnp.zeros((1, n * N_LIMBS), u32), pref])
+    seg = pref[op.rowptr[1:]] - pref[op.rowptr[:-1]]     # (out_dim, n*5)
+    y = gw.limb_combine(f, seg.reshape(op.out_dim, n, N_LIMBS))
+    if out_rows > op.out_dim:
+        y = jnp.pad(y, ((0, out_rows - op.out_dim), (0, 0), (0, 0)))
+    return y
+
+
+_ELL_UNROLL = 32
+
+
+def spmv_wide(f: GFpWide, op: WideHybridOp, x, out_rows: int | None = None):
+    """y = op * x mod p for pair blocks x (in_dim, n, 2) -> (out_rows, n, 2)."""
+    if out_rows is None:
+        out_rows = op.out_dim
+    n = x.shape[1]
+    out_pad = op.cols.shape[0]
+
+    def slab_step(k, y):
+        ck = jax.lax.dynamic_index_in_dim(op.cols, k, 1, keepdims=False)
+        vk = jax.lax.dynamic_index_in_dim(op.vals, k, 1, keepdims=False)
+        return gw.modadd(f, y, gw.mont_mul(f, vk[:, None, :], x[ck]))
+
+    y = jnp.zeros((out_pad, n, 2), u32)
+    if op.ell <= _ELL_UNROLL:
+        for k in range(op.ell):
+            y = gw.modadd(f, y, gw.mont_mul(
+                f, op.vals[:, k][:, None, :], x[op.cols[:, k]]))
+    else:
+        y = jax.lax.fori_loop(0, op.ell, slab_step, y)
+
+    if op.spill.nnz != 0:
+        y = gw.modadd(f, y, _spmv_spill_prefix(f, op.spill, x, out_pad))
+
+    if out_rows > out_pad:
+        y = jnp.pad(y, ((0, out_rows - out_pad), (0, 0), (0, 0)))
+    elif out_rows < out_pad:
+        y = y[:out_rows]
+    return y
+
+
+def spmv_wide_oracle(p: int, nrows: int, i, j, x_obj, v_obj):
+    """Host oracle: y[i] += x * v[j] mod p with Python-int arithmetic."""
+    n = v_obj.shape[1]
+    y = np.zeros((nrows, n), dtype=object)
+    for k in range(len(x_obj)):
+        y[i[k]] = (y[i[k]] + int(x_obj[k]) * v_obj[j[k]]) % p
+    return y

@@ -49,17 +49,30 @@ def check_kernel_block(matrix_path: str, x: np.ndarray, prime: int,
         raise CheckFailure("KO: kernel vectors are all zero")
 
     n = x.shape[1]
-    x64 = x.astype(np.uint64)
-    y = np.zeros((ncols, n), np.uint64)
-    p64 = np.uint64(prime)
-    for bi, bj, bx in mmio.iter_mtx_triplets(matrix_path):
-        if right:
-            bi, bj = bj, bi
-        vv = (bx.astype(np.int64).astype(np.uint32).astype(np.uint64)) % p64
-        # y[j] += v * x[i]  — gather rows, accumulate exactly, reduce per chunk
-        contrib = (vv[:, None] * x64[bi]) % p64  # products < 2^60, exact
-        np.add.at(y, bj, contrib)
-        y %= p64  # each |segment| within a chunk adds < 2^30 * 2^20 < 2^63… keep reduced
+    if prime > 0x3FFFFFDD:
+        # wide prime: products can exceed u64 — exact Python-int arithmetic
+        xo = x.astype(object)
+        y = np.zeros((ncols, n), dtype=object)
+        p_int = int(prime)
+        for bi, bj, bx in mmio.iter_mtx_triplets(matrix_path):
+            if right:
+                bi, bj = bj, bi
+            vv = (bx.astype(object)) % p_int
+            contrib = (vv[:, None] * xo[bi]) % p_int
+            np.add.at(y, bj, contrib)
+            y %= p_int
+    else:
+        x64 = x.astype(np.uint64)
+        y = np.zeros((ncols, n), np.uint64)
+        p64 = np.uint64(prime)
+        for bi, bj, bx in mmio.iter_mtx_triplets(matrix_path):
+            if right:
+                bi, bj = bj, bi
+            vv = (bx.astype(np.int64).astype(np.uint32).astype(np.uint64)) % p64
+            # y[j] += v * x[i] — gather rows, accumulate exactly, reduce per chunk
+            contrib = (vv[:, None] * x64[bi]) % p64  # products < 2^60, exact
+            np.add.at(y, bj, contrib)
+            y %= p64
     if (y != 0).any():
         i, j = np.argwhere(y != 0)[0]
         raise CheckFailure(f"KO: y[{i}, {j}] == {y[i, j]} != 0")
@@ -75,7 +88,8 @@ def check_kernel_file(matrix_path: str, kernel_path: str, prime: int,
         print(f"Reading kernel from {kernel_path}: {nk} x {n}")
     if (data < 0).any() or (data >= prime).any():
         raise CheckFailure("kernel entries out of bound")
-    return check_kernel_block(matrix_path, data.astype(np.uint32), prime,
+    dtype = np.uint64 if prime > 0x3FFFFFDD else np.uint32
+    return check_kernel_block(matrix_path, data.astype(dtype), prime,
                               right=right, verbose=verbose)
 
 

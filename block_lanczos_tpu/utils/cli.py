@@ -76,15 +76,24 @@ def main(argv=None) -> int:
         print("--stop-after and --output-file are mutually exclusive",
               file=sys.stderr)
         return 1
-    if args.prime > PRIME_CAP:
-        print(f"p is capped at 2**30 - 35 (got {args.prime})", file=sys.stderr)
+    wide = args.prime > PRIME_CAP
+    if wide and args.prime >= (1 << 62):
+        # the reference stops at 2^30 - 35; we extend to 2^62
+        print(f"p is capped at 2**62 - 1 (got {args.prime})", file=sys.stderr)
         return 1
     right = args.right and not args.left
 
     M = mmio.load_mtx(args.matrix, args.prime, verbose=True)
     print(f"  - {M.nrows} x {M.ncols} with {M.nnz} nz", file=sys.stderr)
 
-    if args.single:
+    if wide:
+        from block_lanczos_tpu.models.lanczos_wide import BlockLanczosWide
+        print(f"  - wide field (p > 2^30): two-limb arithmetic",
+              file=sys.stderr)
+        solver = BlockLanczosWide(M, n=args.n, right=right,
+                                  check_invariants=not args.no_checks,
+                                  sync_every=args.sync_every)
+    elif args.single:
         from block_lanczos_tpu.models.lanczos import BlockLanczos
         solver = BlockLanczos(M, n=args.n, right=right,
                               check_invariants=not args.no_checks,

@@ -55,3 +55,10 @@ class Xoshiro256Plus:
         for k in range(count):
             out[k] = self._next_py() % prime
         return out
+
+    def fill_mod64(self, count: int, prime: int) -> np.ndarray:
+        """Same stream, uint64 output — for wide primes (p < 2^62)."""
+        out = np.empty(count, np.uint64)
+        for k in range(count):
+            out[k] = self._next_py() % prime
+        return out

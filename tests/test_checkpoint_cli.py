@@ -97,7 +97,11 @@ def test_cli_validation(tmp_path):
     mtx = os.path.join(GOLDEN, "left_p65537_n4.mtx")
     assert cli.main(["--matrix", mtx, "--prime", "65537",
                      "--output-file", "x", "--stop-after", "3"]) == 1
-    assert cli.main(["--matrix", mtx, "--prime", str(2**31 - 1)]) == 1
+    # beyond even the wide cap (2^62) -> rejected
+    assert cli.main(["--matrix", mtx, "--prime", str(2**62 + 1)]) == 1
+    # 2^31 - 1 exceeds the reference's 2^30-35 cap but OUR wide path takes it
+    assert cli.main(["--matrix", mtx, "--prime", str(2**31 - 1),
+                     "--stop-after", "2", "--no-checks"]) == 0
 
 
 def test_verbosity_engine(capsys):

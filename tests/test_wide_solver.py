@@ -1,0 +1,119 @@
+"""End-to-end tests for the wide-field (p < 2^62) solver path."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from block_lanczos_tpu.models.lanczos import BlockLanczos
+from block_lanczos_tpu.models.lanczos_wide import BlockLanczosWide
+from block_lanczos_tpu.ops import gfp_wide as gw
+from block_lanczos_tpu.ops import wide_ops as wo
+from block_lanczos_tpu.ops.gfp_wide import GFpWide
+from block_lanczos_tpu.utils import checker, mmio
+from block_lanczos_tpu.utils.gen import random_sparse
+
+P61 = (1 << 61) - 1
+
+
+def make_matrix(prime, nrows=96, ncols=64, density=5, seed=7, wide_vals=False):
+    i, j, x = random_sparse(nrows, ncols, density, seed=seed)
+    if wide_vals:
+        # values spanning the full wide range
+        rng = np.random.default_rng(seed + 1)
+        lo = rng.integers(0, 1 << 32, size=len(x)).astype(object)
+        hi = rng.integers(0, 1 << 30, size=len(x)).astype(object)
+        xv = np.asarray(((hi << 32) | lo) % prime, dtype=np.uint64)
+    else:
+        xv = (x % prime).astype(np.uint64)
+    return mmio.COOMatrix(nrows, ncols, len(xv), i.astype(np.int32),
+                          j.astype(np.int32), xv, prime)
+
+
+def test_spmv_wide_vs_oracle():
+    p = P61
+    f = GFpWide.make(p)
+    rng = np.random.default_rng(0)
+    M = make_matrix(p, 60, 40, 4, wide_vals=True)
+    op = wo.make_wide_hybrid_op(f, M.i, M.j, np.asarray(M.x, dtype=object),
+                                M.nrows, M.ncols)
+    x_obj = ((rng.integers(0, 1 << 32, size=(40, 3)).astype(object) << 30)
+             | rng.integers(0, 1 << 30, size=(40, 3)).astype(object)) % p
+    xd = jnp.asarray(gw.np_pair(x_obj))
+    y = gw.np_unpair(np.asarray(wo.spmv_wide(f, op, xd)))
+    exp = wo.spmv_wide_oracle(p, M.nrows, M.i, M.j,
+                              np.asarray(M.x, dtype=object), x_obj)
+    assert (y == exp).all()
+
+
+def test_semi_inverse_wide_device_vs_host():
+    p = P61
+    f = GFpWide.make(p)
+    rng = np.random.default_rng(1)
+    for trial in range(4):
+        n = 6
+        A = rng.integers(0, 1 << 61, size=(n, n)).astype(object) % p
+        U = (A + A.T) % p  # symmetric like a Gram matrix
+        if trial == 2:
+            U[:, 0] = 0
+            U[0, :] = 0  # force a non-pivot column
+        if trial == 3:
+            U[:] = 0      # all-zero -> 0 pivots
+        W, d, npiv = wo.semi_inverse_device(f, jnp.asarray(gw.np_pair(U)))
+        W_h, d_h, npiv_h = wo.semi_inverse_py(p, U)
+        assert int(npiv) == npiv_h
+        assert (np.asarray(d) == d_h).all()
+        assert (gw.np_unpair(np.asarray(W)) == W_h.astype(object)).all()
+
+
+def test_wide_solver_end_to_end(tmp_path):
+    p = P61
+    M = make_matrix(p, 96, 64, 5, wide_vals=True)
+    solver = BlockLanczosWide(M, n=4, check_invariants=True)
+    res = solver.solve(verbose=False)
+    assert res.v_nonzero and res.product_zero
+    # independent streaming checker on the written file
+    mtx = str(tmp_path / "m.mtx")
+    kern = str(tmp_path / "k.mtx")
+    with open(mtx, "w") as fh:
+        fh.write("%%MatrixMarket matrix coordinate integer general\n")
+        fh.write(f"{M.nrows} {M.ncols} {M.nnz}\n")
+        for a, b, c in zip(M.i, M.j, M.x):
+            fh.write(f"{a+1} {b+1} {c}\n")
+    mmio.write_kernel_mtx(kern, res.kernel, M.nrows, 4)
+    assert checker.check_kernel_file(mtx, kern, p) is True
+
+
+def test_wide_matches_narrow_for_narrow_prime():
+    """Same prime through both field implementations -> identical kernel."""
+    p = 65537
+    i, j, x = random_sparse(80, 56, 4, seed=3)
+    Mn = mmio.COOMatrix(80, 56, len(x), i.astype(np.int32),
+                        j.astype(np.int32), (x % p).astype(np.uint32), p)
+    Mw = mmio.COOMatrix(80, 56, len(x), i.astype(np.int32),
+                        j.astype(np.int32), (x % p).astype(np.uint64), p)
+    rn = BlockLanczos(Mn, n=4, check_invariants=True).solve()
+    rw = BlockLanczosWide(Mw, n=4, check_invariants=True).solve()
+    assert rn.iterations == rw.iterations
+    np.testing.assert_array_equal(rn.kernel.astype(np.uint64), rw.kernel)
+
+
+def test_wide_right_kernel():
+    p = 36028797018963913  # 55-bit prime
+    M = make_matrix(p, 64, 96, 5, seed=11, wide_vals=True)
+    res = BlockLanczosWide(M, n=4, right=True, check_invariants=True).solve()
+    assert res.v_nonzero and res.product_zero
+
+
+def test_wide_load_mtx(tmp_path):
+    p = P61
+    mtx = str(tmp_path / "w.mtx")
+    with open(mtx, "w") as fh:
+        fh.write("%%MatrixMarket matrix coordinate integer general\n")
+        fh.write("2 2 3\n")
+        fh.write(f"1 1 {p + 5}\n")       # reduces to 5
+        fh.write("1 2 -1\n")             # reduces to p - 1
+        fh.write("2 2 7\n")
+    M = mmio.load_mtx(mtx, p)
+    assert M.x.dtype == np.uint64
+    assert list(M.x) == [5, p - 1, 7]
