@@ -230,9 +230,13 @@ def _to_mont_pairs(f: GFpWide, vals_obj):
     return gw.np_pair(vm)
 
 
-def make_wide_hybrid_op(f: GFpWide, out_idx, in_idx, vals, out_dim: int,
-                        in_dim: int, ell: int | None = None,
-                        chunk: int = DEFAULT_CHUNK) -> WideHybridOp:
+def build_wide_hybrid_arrays(f: GFpWide, out_idx, in_idx, vals, out_dim: int,
+                             ell: int | None = None,
+                             spill_pad_to: int | None = None):
+    """Host-side wide ELL slab + spill construction (NumPy arrays).
+
+    Returns (cols2d, vals2d, (s_out, s_in, s_vm, s_nnz, rowptr), nnz, ell).
+    """
     from block_lanczos_tpu.ops.spmm import choose_ell_width
 
     out_idx = np.asarray(out_idx, np.int64)
@@ -245,6 +249,9 @@ def make_wide_hybrid_op(f: GFpWide, out_idx, in_idx, vals, out_dim: int,
               else np.zeros(out_dim, np.int64))
     if ell is None:
         ell = choose_ell_width(counts)
+    # keep every spill segment under the 2^17 limb-sum cap (prefix trick)
+    if counts.size and int(counts.max()) - int(ell) > gw.LIMB_SUM_MAX:
+        ell = int(counts.max()) - gw.LIMB_SUM_MAX
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
     pos = np.arange(nnz) - np.repeat(starts, counts)
     vm = _to_mont_pairs(f, vals)             # (nnz, 2)
@@ -261,25 +268,27 @@ def make_wide_hybrid_op(f: GFpWide, out_idx, in_idx, vals, out_dim: int,
     s_vm = vm[sp]
     s_nnz = len(s_out)
     rowptr = np.searchsorted(s_out, np.arange(out_dim + 1)).astype(np.int32)
-    if s_nnz and int(np.diff(rowptr).max()) > gw.LIMB_SUM_MAX:
-        # a single row denser than 2^17 + ell would overflow the wrapping
-        # prefix trick; widen the slab instead (rare, pathological skew)
-        return make_wide_hybrid_op(
-            f, out_idx, in_idx, vals, out_dim, in_dim,
-            ell=int(ell) + int(np.diff(rowptr).max()) - gw.LIMB_SUM_MAX,
-            chunk=chunk)
-    target = max(s_nnz, 1)
+    target = max(s_nnz, spill_pad_to or 0, 1)
     pad = target - s_nnz
     if pad:
         last = s_out[-1] if s_nnz else np.int32(0)
         s_out = np.concatenate([s_out, np.full(pad, last, np.int32)])
         s_in = np.concatenate([s_in, np.zeros(pad, np.int32)])
         s_vm = np.concatenate([s_vm, np.zeros((pad, 2), np.uint32)])
+    return cols2d, vals2d, (s_out, s_in, s_vm, s_nnz, rowptr), nnz, int(ell)
+
+
+def make_wide_hybrid_op(f: GFpWide, out_idx, in_idx, vals, out_dim: int,
+                        in_dim: int, ell: int | None = None,
+                        chunk: int = DEFAULT_CHUNK) -> WideHybridOp:
+    cols2d, vals2d, spill_t, nnz, ell = build_wide_hybrid_arrays(
+        f, out_idx, in_idx, vals, out_dim, ell=ell)
+    s_out, s_in, s_vm, s_nnz, rowptr = spill_t
     spill = WideSparseOp(out_dim=out_dim, in_dim=in_dim, nnz=s_nnz,
                          out_idx=jnp.asarray(s_out), in_idx=jnp.asarray(s_in),
                          val_mont=jnp.asarray(s_vm),
                          rowptr=jnp.asarray(rowptr))
-    return WideHybridOp(out_dim=out_dim, in_dim=in_dim, nnz=nnz, ell=int(ell),
+    return WideHybridOp(out_dim=out_dim, in_dim=in_dim, nnz=nnz, ell=ell,
                         cols=jnp.asarray(cols2d), vals=jnp.asarray(vals2d),
                         spill=spill)
 

@@ -23,3 +23,15 @@ def psum_mod(f: GFp, x, axis_name: str):
     hi_s = jax.lax.psum(hi, axis_name)
     lo_s = jax.lax.psum(lo, axis_name)
     return gfp.limb_combine(f, hi_s, lo_s)
+
+
+def psum_mod_wide(f2, x, axis_name: str):
+    """Exact wide-field (p < 2^62) psum: five 15-bit limbs, recombined.
+
+    f2: ops.gfp_wide.GFpWide; x: (..., 2) uint32 pairs in [0, p).
+    Safe for up to 2^17 devices (each limb < 2^15 per partial).
+    """
+    from block_lanczos_tpu.ops import gfp_wide as gw
+    limbs = gw.limb_split(x)                      # (..., 5)
+    limbs_s = jax.lax.psum(limbs, axis_name)
+    return gw.limb_combine(f2, limbs_s)

@@ -1,0 +1,312 @@
+"""Multi-device block Lanczos for WIDE primes (2^30-35 < p < 2^62).
+
+Mirrors parallel/distributed.py on the uint32-pair field: the matrix is
+2D-partitioned over a ("rows", "cols") mesh, each device owns one block in
+the wide hybrid ELL+spill layout, and exact mod-p reductions ride
+`psum_mod_wide` (five 15-bit limbs per value).  Root-free: state stays
+sharded for the whole solve, the only host traffic is the per-block stop
+flag — same architecture notes as the narrow module.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from block_lanczos_tpu.models import lanczos_wide as lw
+from block_lanczos_tpu.models.lanczos import SolveResult
+from block_lanczos_tpu.ops import gfp_wide as gw
+from block_lanczos_tpu.ops import wide_ops as wo
+from block_lanczos_tpu.ops.gfp import u32
+from block_lanczos_tpu.ops.gfp_wide import GFpWide
+from block_lanczos_tpu.parallel.collectives import psum_mod_wide
+from block_lanczos_tpu.parallel.mesh import COLS_AXIS, ROWS_AXIS
+from block_lanczos_tpu.parallel.sharding import _band_size
+from block_lanczos_tpu.utils.mmio import COOMatrix
+from block_lanczos_tpu.utils.rng import Xoshiro256Plus
+
+
+@dataclasses.dataclass
+class _WideStackedDir:
+    ell: int
+    cols: jax.Array          # (R, C, out_band, L) int32
+    vals: jax.Array          # (R, C, out_band, L, 2) uint32
+    spill_out: jax.Array     # (R, C, spill_pad) int32
+    spill_in: jax.Array      # (R, C, spill_pad) int32
+    spill_val: jax.Array     # (R, C, spill_pad, 2) uint32
+    spill_rowptr: jax.Array  # (R, C, out_band + 1) int32
+
+    def leaves(self):
+        return (self.cols, self.vals, self.spill_out, self.spill_in,
+                self.spill_val, self.spill_rowptr)
+
+
+@dataclasses.dataclass
+class WideShardedOps:
+    grid: tuple
+    band: int
+    mband: int
+    np_rows: int
+    mp_rows: int
+    n_eff: int
+    m_eff: int
+    first: _WideStackedDir
+    second: _WideStackedDir
+
+    def _local(self, d: _WideStackedDir, out_dim: int, in_dim: int,
+               leaves) -> wo.WideHybridOp:
+        cols, vals, s_o, s_i, s_v, s_rp = (leaf[0, 0] for leaf in leaves)
+        spill = wo.WideSparseOp(out_dim=out_dim, in_dim=in_dim, nnz=-1,
+                                out_idx=s_o, in_idx=s_i, val_mont=s_v,
+                                rowptr=s_rp)
+        return wo.WideHybridOp(out_dim=out_dim, in_dim=in_dim, nnz=-1,
+                               ell=d.ell, cols=cols, vals=vals, spill=spill)
+
+    def local_first(self, leaves):
+        return self._local(self.first, self.mband, self.band, leaves)
+
+    def local_second(self, leaves):
+        return self._local(self.second, self.band, self.mband, leaves)
+
+
+def partition_matrix_wide(f: GFpWide, M: COOMatrix, right: bool,
+                          mesh: jax.sharding.Mesh,
+                          pad_multiple: int = 8) -> WideShardedOps:
+    R = mesh.shape[ROWS_AXIS]
+    C = mesh.shape[COLS_AXIS]
+    n_eff = M.ncols if right else M.nrows
+    m_eff = M.nrows if right else M.ncols
+    key = (M.j if right else M.i).astype(np.int64)
+    other = (M.i if right else M.j).astype(np.int64)
+    band = _band_size(n_eff, R, pad_multiple)
+    mband = _band_size(m_eff, C, pad_multiple)
+
+    x_obj = np.asarray(M.x, dtype=object)
+    rshard = key // band
+    cshard = other // mband
+    first_parts, second_parts = [], []
+    for r in range(R):
+        for c in range(C):
+            sel = (rshard == r) & (cshard == c)
+            lk = (key[sel] - r * band).astype(np.int32)
+            lo = (other[sel] - c * mband).astype(np.int32)
+            xv = x_obj[sel]
+            first_parts.append((lo, lk, xv))
+            second_parts.append((lk, lo, xv))
+
+    nnz_sharding = NamedSharding(mesh, P(ROWS_AXIS, COLS_AXIS))
+
+    def build_dir(parts, out_dim) -> _WideStackedDir:
+        from block_lanczos_tpu.ops.spmm import choose_ell_width
+        ell = 1
+        for (oi, _ii, _xv) in parts:
+            counts = (np.bincount(oi, minlength=out_dim) if len(oi)
+                      else np.zeros(out_dim, np.int64))
+            ell = max(ell, choose_ell_width(counts))
+        built, spill_pad = [], 1
+        for (oi, ii, xv) in parts:
+            arrs = wo.build_wide_hybrid_arrays(f, oi, ii, xv, out_dim,
+                                               ell=ell)
+            ell = max(ell, arrs[4])  # dense-row guard may widen
+            built.append(arrs)
+            spill_pad = max(spill_pad, arrs[2][0].shape[0])
+        cols_l, vals_l, so_l, si_l, sv_l, srp_l = [], [], [], [], [], []
+        for arrs, (oi, ii, xv) in zip(built, parts):
+            if arrs[4] != ell or arrs[2][0].shape[0] != spill_pad:
+                arrs = wo.build_wide_hybrid_arrays(
+                    f, oi, ii, xv, out_dim, ell=ell, spill_pad_to=spill_pad)
+            cols2d, vals2d, (s_o, s_i, s_v, _n, s_rp), _nnz, _e = arrs
+            cols_l.append(cols2d); vals_l.append(vals2d)
+            so_l.append(s_o); si_l.append(s_i); sv_l.append(s_v)
+            srp_l.append(s_rp)
+
+        def stack(xs):
+            arr = np.stack(xs)
+            arr = arr.reshape((R, C) + arr.shape[1:])
+            return jax.device_put(arr, nnz_sharding)
+
+        return _WideStackedDir(ell=ell, cols=stack(cols_l),
+                               vals=stack(vals_l), spill_out=stack(so_l),
+                               spill_in=stack(si_l), spill_val=stack(sv_l),
+                               spill_rowptr=stack(srp_l))
+
+    first = build_dir(first_parts, mband)
+    second = build_dir(second_parts, band)
+    return WideShardedOps(grid=(R, C), band=band, mband=mband,
+                          np_rows=band * R, mp_rows=mband * C,
+                          n_eff=n_eff, m_eff=m_eff,
+                          first=first, second=second)
+
+
+def _local_step(f: GFpWide, ops: WideShardedOps, check: bool,
+                first_leaves, second_leaves, v_local, p_local):
+    first = ops.local_first(first_leaves)
+    second = ops.local_second(second_leaves)
+
+    tmp_partial = wo.spmv_wide(f, first, v_local, out_rows=ops.mband)
+    tmp = psum_mod_wide(f, tmp_partial, ROWS_AXIS)
+    av_partial = wo.spmv_wide(f, second, tmp, out_rows=ops.band)
+    Av_local = psum_mod_wide(f, av_partial, COLS_AXIS)
+
+    n = v_local.shape[1]
+    grams = psum_mod_wide(f, wo.gram_mod(
+        f, jnp.concatenate([v_local, Av_local], axis=1), Av_local), ROWS_AXIS)
+    vtAv, vtAAv = grams[:n], grams[n:]
+
+    winv, d, npiv = wo.semi_inverse_device(f, vtAv)
+    stop = npiv == 0
+    inv_ok = (lw.check_invariants_device(f, vtAv, vtAAv, winv, d)
+              if check else jnp.bool_(True))
+
+    v_next, p_next = lw.orthogonalize_device(
+        f, v_local, Av_local, p_local, d, vtAv, vtAAv, winv)
+    v_out = jnp.where(stop, v_local, v_next)
+    p_out = jnp.where(stop, p_local, p_next)
+    return v_out, p_out, tmp, vtAv, vtAAv, winv, d, stop, inv_ok
+
+
+def _local_multi_step(f: GFpWide, ops: WideShardedOps, check: bool,
+                      first_leaves, second_leaves, v_local, p_local,
+                      max_steps):
+    n = v_local.shape[1]
+    zed = jnp.zeros((n, n, 2), u32)
+    tmp0 = jax.lax.pcast(jnp.zeros((ops.mband, n, 2), u32), (COLS_AXIS,),
+                         to="varying")
+    init = (v_local, p_local, tmp0, zed, zed, zed,
+            jnp.zeros((n,), u32), jnp.bool_(False), jnp.bool_(True),
+            jnp.uint32(0))
+
+    def cond(c):
+        stop, inv_ok, k = c[-3], c[-2], c[-1]
+        return (k < max_steps) & jnp.logical_not(stop) & inv_ok
+
+    def body(c):
+        out = _local_step(f, ops, check, first_leaves, second_leaves,
+                          c[0], c[1])
+        return (*out, c[-1] + jnp.uint32(1))
+
+    return jax.lax.while_loop(cond, body, init)
+
+
+class ShardedBlockLanczosWide:
+    """Multi-device wide-field solver; API mirrors ShardedBlockLanczos."""
+
+    def __init__(self, M: COOMatrix, n: int = 1, right: bool = False,
+                 mesh: jax.sharding.Mesh | None = None,
+                 pad_multiple: int = 8, check_invariants: bool = True,
+                 sync_every: int | None = None):
+        from block_lanczos_tpu.parallel.mesh import make_mesh
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.f = GFpWide.make(M.prime)
+        self.n = int(n)
+        self.right = bool(right)
+        self.check_invariants = check_invariants
+        self.ops = partition_matrix_wide(self.f, M, right, self.mesh,
+                                         pad_multiple=pad_multiple)
+        self.n_eff = self.ops.n_eff
+        self.m_eff = self.ops.m_eff
+        self.np_rows = self.ops.np_rows
+        self.expected_iterations = 1 + self.m_eff // self.n
+        self._rng = Xoshiro256Plus()
+        self._vec_sharding = NamedSharding(self.mesh, P(ROWS_AXIS, None, None))
+        self.sync_every = sync_every
+
+        nnz_spec = P(ROWS_AXIS, COLS_AXIS)
+        v_spec = P(ROWS_AXIS, None, None)
+        tmp_spec = P(COLS_AXIS, None, None)
+        rep3 = P(None, None, None)
+        n_leaves = len(self.ops.first.leaves())
+        mbody = partial(_local_multi_step, self.f, self.ops,
+                        check_invariants)
+        msmapped = jax.shard_map(
+            mbody, mesh=self.mesh,
+            in_specs=((nnz_spec,) * n_leaves, (nnz_spec,) * n_leaves,
+                      v_spec, v_spec, P()),
+            out_specs=(v_spec, v_spec, tmp_spec, rep3, rep3, rep3,
+                       P(None), P(), P(), P()))
+        self._multi_step = jax.jit(msmapped, donate_argnums=(2, 3))
+
+    def initial_block(self):
+        block = self._rng.fill_mod64(self.n_eff * self.n, self.f.p)
+        v0 = np.zeros((self.np_rows, self.n), np.uint64)
+        v0[:self.n_eff] = block.reshape(self.n_eff, self.n)
+        return jax.device_put(gw.np_pair(v0.astype(object)),
+                              self._vec_sharding)
+
+    def _step_args(self):
+        return (self.ops.first.leaves(), self.ops.second.leaves())
+
+    def solve(self, stop_after: int = -1, verbose: bool = False,
+              on_iteration: Callable | None = None,
+              resume_state: dict | None = None) -> SolveResult:
+        if resume_state is None:
+            v = self.initial_block()
+            p_blk = jax.device_put(
+                np.zeros((self.np_rows, self.n, 2), np.uint32),
+                self._vec_sharding)
+            n_iterations = 0
+        else:
+            v = jax.device_put(np.asarray(resume_state["v"]),
+                               self._vec_sharding)
+            p_blk = jax.device_put(np.asarray(resume_state["p"]),
+                                   self._vec_sharding)
+            n_iterations = int(resume_state["iteration"])
+        if verbose:
+            R, C = self.ops.grid
+            print(f"Block Lanczos [wide field, sharded {R}x{C}]")
+            print(f"  - Expecting {self.expected_iterations} iterations")
+            print("  - Main loop")
+
+        args = self._step_args()
+        start = time.time()
+        tmp = None
+        stopped_by_limit = False
+        block = self.sync_every or 1
+        _ADAPT_CAP, _ADAPT_TARGET_S = 1024, 0.25
+        while True:
+            remaining = (stop_after - n_iterations if stop_after > 0
+                         else block)
+            if remaining <= 0:
+                stopped_by_limit = True
+                break
+            k_ask = min(block, remaining)
+            t_blk = time.time()
+            v, p_blk, tmp, vtAv, vtAAv, winv, d, stop, inv_ok, k_done = \
+                self._multi_step(*args, v, p_blk, jnp.uint32(k_ask))
+            k_done = int(k_done)
+            stop = bool(stop)
+            if self.check_invariants and not bool(inv_ok):
+                raise AssertionError(
+                    "device invariant check failed (wide, sharded) at "
+                    f"iteration ~{n_iterations + k_done}")
+            n_iterations += k_done - (1 if stop else 0)
+            if on_iteration is not None:
+                on_iteration(self, n_iterations, v, p_blk, start)
+            if stop:
+                break
+            if self.sync_every is None and block < _ADAPT_CAP and \
+                    time.time() - t_blk < _ADAPT_TARGET_S:
+                block *= 2
+
+        elapsed = time.time() - start
+        v_host = gw.np_unpair(np.asarray(jax.device_get(v)))
+        v_host64 = v_host.astype(np.uint64)
+        v_nonzero = product_zero = None
+        if not stopped_by_limit:
+            v_nonzero, product_zero = lw.final_check(
+                v_host64, gw.np_unpair(np.asarray(jax.device_get(tmp))),
+                self.n_eff, self.m_eff, verbose)
+        if verbose:
+            print(f"  - Terminated in {elapsed:.1f}s after "
+                  f"{n_iterations} iterations")
+        return SolveResult(kernel=v_host64[:self.n_eff],
+                           iterations=n_iterations,
+                           v_nonzero=v_nonzero, product_zero=product_zero,
+                           elapsed=elapsed, stopped_by_limit=stopped_by_limit)

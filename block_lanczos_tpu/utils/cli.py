@@ -71,6 +71,18 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    import os
+
+    import jax
+
+    # Environments that register a TPU backend programmatically (e.g. via
+    # sitecustomize) beat the JAX_PLATFORMS env var; sync the env request
+    # into the config before any backend is touched so
+    # `JAX_PLATFORMS=cpu lanczos-modp ...` works everywhere.
+    env_plat = os.environ.get("JAX_PLATFORMS")
+    if env_plat:
+        jax.config.update("jax_platforms", env_plat)
+
     args = build_parser().parse_args(argv)
     if args.output_file and args.stop_after > 0:
         print("--stop-after and --output-file are mutually exclusive",
@@ -87,12 +99,24 @@ def main(argv=None) -> int:
     print(f"  - {M.nrows} x {M.ncols} with {M.nnz} nz", file=sys.stderr)
 
     if wide:
-        from block_lanczos_tpu.models.lanczos_wide import BlockLanczosWide
-        print(f"  - wide field (p > 2^30): two-limb arithmetic",
+        print("  - wide field (p > 2^30): two-limb arithmetic",
               file=sys.stderr)
-        solver = BlockLanczosWide(M, n=args.n, right=right,
-                                  check_invariants=not args.no_checks,
-                                  sync_every=args.sync_every)
+        if args.single:
+            from block_lanczos_tpu.models.lanczos_wide import BlockLanczosWide
+            solver = BlockLanczosWide(M, n=args.n, right=right,
+                                      check_invariants=not args.no_checks,
+                                      sync_every=args.sync_every)
+        else:
+            from block_lanczos_tpu.parallel import make_mesh
+            from block_lanczos_tpu.parallel.distributed_wide import \
+                ShardedBlockLanczosWide
+            from block_lanczos_tpu.parallel.mesh import make_mesh_grid
+            mesh = (make_mesh_grid(*args.grid) if args.grid
+                    else make_mesh(args.devices))
+            solver = ShardedBlockLanczosWide(
+                M, n=args.n, right=right, mesh=mesh,
+                check_invariants=not args.no_checks,
+                sync_every=args.sync_every)
     elif args.single:
         from block_lanczos_tpu.models.lanczos import BlockLanczos
         solver = BlockLanczos(M, n=args.n, right=right,

@@ -117,3 +117,34 @@ def test_wide_load_mtx(tmp_path):
     M = mmio.load_mtx(mtx, p)
     assert M.x.dtype == np.uint64
     assert list(M.x) == [5, p - 1, 7]
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_wide_sharded_bit_exact(ndev):
+    """Sharded wide solve == single-device wide solve, bit for bit."""
+    from block_lanczos_tpu.parallel.distributed_wide import \
+        ShardedBlockLanczosWide
+    from block_lanczos_tpu.parallel.mesh import make_mesh
+
+    p = P61
+    M = make_matrix(p, 96, 64, 5, seed=21, wide_vals=True)
+    ref = BlockLanczosWide(M, n=4, check_invariants=False).solve()
+    got = ShardedBlockLanczosWide(
+        M, n=4, mesh=make_mesh(ndev), check_invariants=False).solve()
+    assert got.iterations == ref.iterations
+    np.testing.assert_array_equal(got.kernel, ref.kernel)
+    assert got.v_nonzero and got.product_zero
+
+
+def test_wide_sharded_2d_grid():
+    from block_lanczos_tpu.parallel.distributed_wide import \
+        ShardedBlockLanczosWide
+    from block_lanczos_tpu.parallel.mesh import make_mesh_grid
+
+    p = 36028797018963913
+    M = make_matrix(p, 96, 64, 5, seed=22, wide_vals=True)
+    ref = BlockLanczosWide(M, n=4, check_invariants=False).solve()
+    got = ShardedBlockLanczosWide(
+        M, n=4, mesh=make_mesh_grid(2, 4), check_invariants=True).solve()
+    assert got.iterations == ref.iterations
+    np.testing.assert_array_equal(got.kernel, ref.kernel)
