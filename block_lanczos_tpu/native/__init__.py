@@ -54,6 +54,10 @@ def get_lib():
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_uint64,
             ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64]
         lib.xoshiro_fill_mod.restype = None
+        lib.xoshiro_fill_mod64.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64]
+        lib.xoshiro_fill_mod64.restype = None
         lib.parse_triplets_mod.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
@@ -81,6 +85,17 @@ def xoshiro_fill_mod(state: np.ndarray, prime: int, count: int):
     out = np.empty(count, np.uint32)
     lib.xoshiro_fill_mod(_ptr(state, ctypes.c_uint64), prime,
                          _ptr(out, ctypes.c_uint32), count)
+    return out
+
+
+def xoshiro_fill_mod64(state: np.ndarray, prime: int, count: int):
+    """Native wide-prime fill; returns None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty(count, np.uint64)
+    lib.xoshiro_fill_mod64(_ptr(state, ctypes.c_uint64), prime,
+                           _ptr(out, ctypes.c_uint64), count)
     return out
 
 

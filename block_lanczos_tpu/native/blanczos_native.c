@@ -43,6 +43,22 @@ void xoshiro_fill_mod(u64 *s, u64 prime, u32 *out, i64 count)
     }
 }
 
+/* Wide-prime (p < 2^62) variant: full 64-bit residues. */
+void xoshiro_fill_mod64(u64 *s, u64 prime, u64 *out, i64 count)
+{
+    for (i64 n = 0; n < count; n++) {
+        u64 result = rotl(s[0] + s[3], 23) + s[0];
+        u64 t = s[1] << 17;
+        s[2] ^= s[0];
+        s[3] ^= s[1];
+        s[1] ^= s[2];
+        s[0] ^= s[3];
+        s[2] ^= t;
+        s[3] = rotl(s[3], 45);
+        out[n] = result % prime;
+    }
+}
+
 /* ------------------------- triplet parsing ------------------------------ */
 
 /* Parse `nnz` whitespace-separated "i j x" integer triplets from buf.

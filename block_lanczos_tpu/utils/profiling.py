@@ -52,8 +52,99 @@ def _timed(fn, *args, iters: int = 5):
     return (time.perf_counter() - t0) / iters, out
 
 
+def ablation_timers(solver, iters: int = 20) -> dict:
+    """Accurate in-loop phase attribution for a BlockLanczos solver.
+
+    phase_timers times each phase as a standalone jit, which loses the
+    fusion (and dispatch amortization) of the real iteration loop — ~3x
+    pessimistic in practice.  This instead times the FULL device-side loop
+    with one phase at a time replaced by a cheap shape-preserving stand-in;
+    the phase's true in-context cost is the delta vs the full loop.
+    """
+    import numpy as np
+
+    from block_lanczos_tpu.models.lanczos import orthogonalize_device
+    from block_lanczos_tpu.ops.gfp import u32
+
+    f = solver.f
+    first_op, second_op = solver.first_op, solver.second_op
+    mp_rows, np_rows = solver.mp_rows, solver.np_rows
+
+    def make_loop(disabled: str | None):
+        def body(c):
+            v, p_blk, k = c
+            n = v.shape[1]
+            if disabled == "spmv1":
+                tmp = jnp.pad(v, ((0, max(mp_rows - v.shape[0], 0)), (0, 0))
+                              )[:mp_rows]
+            else:
+                tmp = spmm.apply_op(f, first_op, v, out_rows=mp_rows)
+            if disabled == "spmv2":
+                Av = jnp.pad(tmp, ((0, max(np_rows - mp_rows, 0)), (0, 0))
+                             )[:np_rows]
+            else:
+                Av = spmm.apply_op(f, second_op, tmp, out_rows=np_rows)
+            if disabled == "gram":
+                vtAv = (v[:n] + Av[:n]) % u32(f.p)
+                vtAAv = vtAv
+            else:
+                grams = dense.gram_mod(f, jnp.concatenate([v, Av], axis=1),
+                                       Av)
+                vtAv, vtAAv = grams[:n], grams[n:]
+            if disabled == "semi":
+                winv, d = vtAv, jnp.ones((n,), u32)
+            else:
+                winv, d, _ = semi_inverse_device(f, vtAv)
+            if disabled == "orth":
+                from block_lanczos_tpu.ops import gfp
+                v_next = gfp.modadd(f, Av, v)
+                p_next = gfp.modadd(f, p_blk, v)
+            else:
+                v_next, p_next = orthogonalize_device(
+                    f, v, Av, p_blk, d, vtAv, vtAAv, winv)
+            return (v_next, p_next, k + jnp.uint32(1))
+
+        def cond(c):
+            return c[-1] < jnp.uint32(iters)
+
+        @jax.jit
+        def run(v, p_blk):
+            return jax.lax.while_loop(cond, body,
+                                      (v, p_blk, jnp.uint32(0)))
+        return run
+
+    def timed_loop(disabled):
+        run = make_loop(disabled)
+        v = solver.initial_block()
+        p = jnp.zeros_like(v)
+        out = run(v, p)
+        np.asarray(out[0])  # compile + warm (materialized)
+        v = solver.initial_block()
+        p = jnp.zeros_like(v)
+        t0 = time.perf_counter()
+        out = run(v, p)
+        np.asarray(out[0])
+        return (time.perf_counter() - t0) / iters
+
+    full = timed_loop(None)
+    report = {"full_iteration_s": full}
+    for ph in ["spmv1", "spmv2", "gram", "semi", "orth"]:
+        report[f"{ph}_s"] = max(full - timed_loop(ph), 0.0)
+    nnz = solver.sp.nnz if hasattr(solver, "sp") else None
+    if nnz:
+        report["spmv_nnz_per_s"] = 2 * nnz / max(
+            report["spmv1_s"] + report["spmv2_s"], 1e-12)
+        report["iteration_nnz_per_s"] = 2 * nnz / full
+    return report
+
+
 def phase_timers(solver, iters: int = 5) -> dict:
-    """Per-phase timings for a BlockLanczos solver instance."""
+    """Per-phase timings for a BlockLanczos solver instance.
+
+    Caveat: each phase is timed as a standalone jit — useful for relative
+    comparisons, but ~3x pessimistic vs the fused iteration loop.  Use
+    ablation_timers for accurate in-context attribution.
+    """
     f = solver.f
     v = solver.initial_block()
 

@@ -58,6 +58,9 @@ class Xoshiro256Plus:
 
     def fill_mod64(self, count: int, prime: int) -> np.ndarray:
         """Same stream, uint64 output — for wide primes (p < 2^62)."""
+        out = native.xoshiro_fill_mod64(self.state, prime, count)
+        if out is not None:
+            return out
         out = np.empty(count, np.uint64)
         for k in range(count):
             out[k] = self._next_py() % prime
