@@ -52,7 +52,7 @@ def _timed(fn, *args, iters: int = 5):
     return (time.perf_counter() - t0) / iters, out
 
 
-def ablation_timers(solver, iters: int = 20) -> dict:
+def ablation_timers(solver, iters: int = 50, runs: int = 2) -> dict:
     """Accurate in-loop phase attribution for a BlockLanczos solver.
 
     phase_timers times each phase as a standalone jit, which loses the
@@ -119,12 +119,15 @@ def ablation_timers(solver, iters: int = 20) -> dict:
         p = jnp.zeros_like(v)
         out = run(v, p)
         np.asarray(out[0])  # compile + warm (materialized)
-        v = solver.initial_block()
-        p = jnp.zeros_like(v)
-        t0 = time.perf_counter()
-        out = run(v, p)
-        np.asarray(out[0])
-        return (time.perf_counter() - t0) / iters
+        best = float("inf")
+        for _ in range(max(runs, 1)):  # min over runs: dispatch jitter
+            v = solver.initial_block()
+            p = jnp.zeros_like(v)
+            t0 = time.perf_counter()
+            out = run(v, p)
+            np.asarray(out[0])
+            best = min(best, (time.perf_counter() - t0) / iters)
+        return best
 
     full = timed_loop(None)
     report = {"full_iteration_s": full}
