@@ -13,10 +13,16 @@ import sys
 
 
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] in ("-h", "--help"):
+        sys.exit(__doc__)
     path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/blanczos_scaling.csv"
     out = sys.argv[2] if len(sys.argv) > 2 else "scaling.png"
     rows = []
-    with open(path) as fh:
+    try:
+        fh = open(path)
+    except OSError as e:
+        sys.exit(f"{e}\n\n{__doc__}")
+    with fh:
         for rec in csv.DictReader(fh):
             rows.append((int(rec["mesh_size"]),
                          float(rec["s_per_iteration"]),

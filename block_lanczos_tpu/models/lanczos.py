@@ -35,7 +35,7 @@ import numpy as np
 
 from block_lanczos_tpu.ops import dense, gfp, spmm
 from block_lanczos_tpu.ops.gfp import GFp, u32
-from block_lanczos_tpu.ops.semi_inverse import semi_inverse_device, semi_inverse_np
+from block_lanczos_tpu.ops.semi_inverse import semi_inverse_device
 from block_lanczos_tpu.ops.spmm import SparseOp, SpMatrix
 from block_lanczos_tpu.utils.mmio import COOMatrix
 from block_lanczos_tpu.utils.rng import Xoshiro256Plus

@@ -9,7 +9,6 @@ semantics, same device-side multi-iteration loop.
 
 from __future__ import annotations
 
-import dataclasses
 import time
 from functools import partial
 from typing import Callable

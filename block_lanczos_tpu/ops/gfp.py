@@ -25,7 +25,6 @@ everything under jit specializes on the prime.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -23,13 +23,11 @@ size with zero-valued entries (additive identity).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from block_lanczos_tpu import native
 from block_lanczos_tpu.ops import gfp
 from block_lanczos_tpu.ops.gfp import GFp, u32
 from block_lanczos_tpu.utils.mmio import COOMatrix

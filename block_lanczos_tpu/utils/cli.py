@@ -18,9 +18,6 @@ from __future__ import annotations
 
 import argparse
 import sys
-import time
-
-import numpy as np
 
 from block_lanczos_tpu.ops.gfp import PRIME_CAP
 from block_lanczos_tpu.utils import checkpoint as ckpt

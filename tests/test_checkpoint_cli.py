@@ -3,7 +3,6 @@
 import os
 
 import numpy as np
-import pytest
 
 from block_lanczos_tpu.models.lanczos import BlockLanczos
 from block_lanczos_tpu.utils import checkpoint as ckpt
