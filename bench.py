@@ -51,18 +51,22 @@ def bench_ours(M):
 
     from block_lanczos_tpu.models.lanczos import BlockLanczos
 
-    solver = BlockLanczos(M, n=N_BLOCK, check_invariants=False)
-    v = solver.initial_block()
-    p_blk = jnp.zeros_like(v)
-    # warmup (includes compile)
-    v, p_blk, *rest = solver._multi_step(v, p_blk, WARMUP_ITERS)
-    np.asarray(v)
-    t0 = time.perf_counter()
-    v, p_blk, *rest = solver._multi_step(v, p_blk, BENCH_ITERS)
-    np.asarray(v)
-    k_done = int(rest[-1])
-    dt = (time.perf_counter() - t0) / max(k_done, 1)
-    return dt
+    def per_iter(n_blk):
+        solver = BlockLanczos(M, n=n_blk, check_invariants=False)
+        v = solver.initial_block()
+        p_blk = jnp.zeros_like(v)
+        # warmup (includes compile)
+        v, p_blk, *rest = solver._multi_step(v, p_blk, WARMUP_ITERS)
+        np.asarray(v)
+        t0 = time.perf_counter()
+        v, p_blk, *rest = solver._multi_step(v, p_blk, BENCH_ITERS)
+        np.asarray(v)
+        k_done = int(rest[-1])
+        return (time.perf_counter() - t0) / max(k_done, 1)
+
+    # headline at the reference's benchmark config (n=4), plus the n=32
+    # production config (BASELINE.json config 3) for time-to-solution
+    return per_iter(N_BLOCK), per_iter(32)
 
 
 def bench_reference_seq(mtx_path):
@@ -79,7 +83,7 @@ def bench_reference_seq(mtx_path):
                 capture_output=True)
         except subprocess.CalledProcessError:
             return None
-    try:
+    def one_measurement():
         t0 = time.perf_counter()
         subprocess.run(
             [binary, "--matrix", mtx_path, "--prime", str(PRIME),
@@ -94,8 +98,12 @@ def bench_reference_seq(mtx_path):
              "--n", str(N_BLOCK), "--stop-after", "1"],
             check=True, capture_output=True, timeout=3600)
         wall1 = time.perf_counter() - t0
-        per_iter = (wall - wall1) / (REF_ITERS - 1)
-        return max(per_iter, 1e-9)
+        return max((wall - wall1) / (REF_ITERS - 1), 1e-9)
+
+    try:
+        # min over two measurements: this host is shared, and contention
+        # inflates the baseline (i.e. flatters us) by up to ~6x
+        return min(one_measurement(), one_measurement())
     except (subprocess.CalledProcessError, subprocess.TimeoutExpired):
         return None
 
@@ -105,7 +113,7 @@ def main():
     from block_lanczos_tpu.utils.mmio import load_mtx
     M = load_mtx(mtx, PRIME)
 
-    ours_per_iter = bench_ours(M)
+    ours_per_iter, ours_n32 = bench_ours(M)
     nnz_per_s = 2 * M.nnz / ours_per_iter  # two SpMV passes per iteration
 
     ref_per_iter = bench_reference_seq(mtx)
@@ -124,6 +132,10 @@ def main():
             "reference_seq_s_per_iteration":
                 round(ref_per_iter, 6) if ref_per_iter else None,
             "iterations_per_s": round(1.0 / ours_per_iter, 3),
+            # production blocking (fewer iterations per solve; PERF.md)
+            "n32_s_per_iteration": round(ours_n32, 6),
+            "n32_est_solve_speedup_vs_n4":
+                round(ours_per_iter * 32 / (ours_n32 * N_BLOCK), 2),
         },
     }
     print(json.dumps(result))
