@@ -1,0 +1,88 @@
+"""Degenerate inputs, tiny shapes, and profiling-API smoke tests."""
+
+import numpy as np
+import pytest
+
+from block_lanczos_tpu.models.lanczos import BlockLanczos
+from block_lanczos_tpu.utils import mmio
+from block_lanczos_tpu.utils.gen import random_sparse
+
+
+def coo(nrows, ncols, i, j, x, p):
+    i = np.asarray(i, np.int32)
+    j = np.asarray(j, np.int32)
+    x = np.asarray(x, np.uint32) % np.uint32(p)
+    return mmio.COOMatrix(nrows, ncols, len(x), i, j, x, p)
+
+
+def test_zero_matrix_stops_immediately():
+    """M == 0: vtAv == 0 -> 0 pivots -> stop at iteration 0; v0 IS a kernel."""
+    p = 65537
+    M = coo(16, 8, [0], [0], [0], p)  # single explicit zero entry
+    res = BlockLanczos(M, n=4).solve()
+    assert res.iterations == 0
+    assert res.v_nonzero and res.product_zero
+
+
+def test_empty_rows_and_cols():
+    """Rows/cols with no entries must not perturb the solve."""
+    p = 65537
+    # entries only touch even rows and the first half of the columns
+    rng = np.random.default_rng(0)
+    i = np.arange(0, 64, 2).repeat(3)
+    j = rng.integers(0, 16, size=len(i))
+    x = rng.integers(1, p, size=len(i))
+    M = coo(64, 32, i, j, x, p)
+    res = BlockLanczos(M, n=4).solve()
+    assert res.v_nonzero and res.product_zero
+
+
+def test_single_entry_matrix():
+    p = 65537
+    M = coo(4, 2, [1], [1], [123], p)
+    res = BlockLanczos(M, n=2).solve()
+    assert res.v_nonzero and res.product_zero
+
+
+def test_tall_thin_and_short_wide():
+    p = 1073741789
+    for nrows, ncols, right in [(128, 8, False), (8, 128, True)]:
+        i, j, x = random_sparse(nrows, ncols, 3, seed=4)
+        M = coo(nrows, ncols, i, j, x, p)
+        res = BlockLanczos(M, n=4, right=right).solve()
+        assert res.v_nonzero and res.product_zero
+
+
+def test_n_larger_than_ncols():
+    """Blocking factor exceeding the small dimension still terminates."""
+    p = 65537
+    i, j, x = random_sparse(32, 6, 2, seed=5)
+    M = coo(32, 6, i, j, x, p)
+    res = BlockLanczos(M, n=8).solve()
+    assert res.v_nonzero and res.product_zero
+
+
+def test_profiling_apis_smoke():
+    from block_lanczos_tpu.utils.profiling import ablation_timers, phase_timers
+    p = 65537
+    i, j, x = random_sparse(96, 64, 4, seed=6)
+    M = coo(96, 64, i, j, x, p)
+    s = BlockLanczos(M, n=4, check_invariants=False)
+    r1 = phase_timers(s, iters=2)
+    assert r1["total_s"] > 0 and 0 <= r1["spmv_share"] <= 1
+    r2 = ablation_timers(s, iters=3, runs=1)
+    assert r2["full_iteration_s"] > 0
+    for k in ["spmv1_s", "spmv2_s", "gram_s", "semi_s", "orth_s"]:
+        assert r2[k] >= 0
+
+
+def test_mmio_rejects_wrong_types(tmp_path):
+    bad = tmp_path / "bad.mtx"
+    bad.write_text("%%MatrixMarket matrix array real general\n2 2\n1\n2\n3\n4\n")
+    with pytest.raises(ValueError):
+        mmio.load_mtx(str(bad), 65537)
+    trunc = tmp_path / "trunc.mtx"
+    trunc.write_text(
+        "%%MatrixMarket matrix coordinate integer general\n2 2 3\n1 1 5\n")
+    with pytest.raises(ValueError):
+        mmio.load_mtx(str(trunc), 65537)
