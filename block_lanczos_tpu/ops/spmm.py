@@ -293,6 +293,24 @@ def choose_ell_width(counts: np.ndarray, spill_cost: float = 3.0) -> int:
     return best
 
 
+def _within_row_positions(sorted_out_idx: np.ndarray) -> np.ndarray:
+    """pos[e] = rank of entry e within its (sorted) out_idx run.
+
+    O(nnz) sequential passes — np.repeat(starts, counts) and starts[oi]
+    gathers both measured 30-70 s at 50M nnz on shared hosts.
+    """
+    nnz = len(sorted_out_idx)
+    if nnz == 0:
+        return np.zeros(0, np.int64)
+    idx = np.arange(nnz, dtype=np.int64)
+    same = np.empty(nnz, bool)
+    same[0] = False
+    np.equal(sorted_out_idx[1:], sorted_out_idx[:-1], out=same[1:])
+    run_start = np.where(same, 0, idx)  # run heads keep their index
+    np.maximum.accumulate(run_start, out=run_start)
+    return idx - run_start
+
+
 def build_hybrid_arrays(f: GFp, out_idx, in_idx, vals, out_dim: int,
                         out_pad: int, ell: int,
                         chunk: int = DEFAULT_CHUNK,
@@ -305,14 +323,33 @@ def build_hybrid_arrays(f: GFp, out_idx, in_idx, vals, out_dim: int,
     out_idx = np.asarray(out_idx, np.int64)
     in_idx = np.asarray(in_idx, np.int64)
     vals = np.asarray(vals, np.uint32)
-    if sort:
+    nnz = len(vals)
+    sorted_native = False
+    if sort and nnz:
+        # native counting sort by row: O(nnz) vs lexsort+gathers (~50 s at
+        # 50M nnz).  Within-row order becomes file order instead of
+        # column-sorted — irrelevant: exact sums are order-independent and
+        # gather cost is locality-independent (PERF.md).
+        from block_lanczos_tpu import native
+        csr = native.coo_to_csr(out_dim, out_idx.astype(np.int32),
+                                in_idx.astype(np.int32), vals)
+        if csr is not None:
+            rowptr_full, in_idx, vals = csr
+            in_idx = in_idx.astype(np.int64)
+            counts = np.diff(rowptr_full)
+            # reconstruct sorted row ids via run-head max-scan (rows ascend)
+            out_idx = np.zeros(nnz, np.int64)
+            heads = rowptr_full[:-1][counts > 0]
+            out_idx[heads] = np.nonzero(counts > 0)[0]
+            np.maximum.accumulate(out_idx, out=out_idx)
+            sorted_native = True
+    if sort and not sorted_native:
         order = np.lexsort((in_idx, out_idx))
         out_idx, in_idx, vals = out_idx[order], in_idx[order], vals[order]
-    nnz = len(vals)
-    counts = np.bincount(out_idx, minlength=out_dim) if nnz else \
-        np.zeros(out_dim, np.int64)
-    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    pos = np.arange(nnz) - np.repeat(starts, counts)
+    if not sorted_native:
+        counts = np.bincount(out_idx, minlength=out_dim) if nnz else \
+            np.zeros(out_dim, np.int64)
+    pos = _within_row_positions(out_idx)
 
     if f.use_mont:
         vm = ((vals.astype(np.uint64) << 32) % np.uint64(f.p)).astype(np.uint32)
@@ -320,10 +357,14 @@ def build_hybrid_arrays(f: GFp, out_idx, in_idx, vals, out_dim: int,
         vm = vals % np.uint32(f.p)
 
     in_slab = pos < ell
-    cols2d = np.zeros((out_pad, ell), np.int32)
-    vals2d = np.zeros((out_pad, ell), np.uint32)
-    cols2d[out_idx[in_slab], pos[in_slab]] = in_idx[in_slab]
-    vals2d[out_idx[in_slab], pos[in_slab]] = vm[in_slab]
+    # flat-index fill: ~4x faster than 2D fancy assignment at 50M+ nnz
+    flat = (out_idx * ell + pos)[in_slab]
+    cols2d = np.zeros(out_pad * ell, np.int32)
+    vals2d = np.zeros(out_pad * ell, np.uint32)
+    cols2d[flat] = in_idx[in_slab]
+    vals2d[flat] = vm[in_slab]
+    cols2d = cols2d.reshape(out_pad, ell)
+    vals2d = vals2d.reshape(out_pad, ell)
 
     sp = ~in_slab
     spill_tuple = build_op_arrays(

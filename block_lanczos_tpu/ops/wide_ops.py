@@ -252,15 +252,18 @@ def build_wide_hybrid_arrays(f: GFpWide, out_idx, in_idx, vals, out_dim: int,
     # keep every spill segment under the 2^17 limb-sum cap (prefix trick)
     if counts.size and int(counts.max()) - int(ell) > gw.LIMB_SUM_MAX:
         ell = int(counts.max()) - gw.LIMB_SUM_MAX
-    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    pos = np.arange(nnz) - np.repeat(starts, counts)
+    from block_lanczos_tpu.ops.spmm import _within_row_positions
+    pos = _within_row_positions(out_idx)
     vm = _to_mont_pairs(f, vals)             # (nnz, 2)
 
     in_slab = pos < ell
-    cols2d = np.zeros((out_dim, ell), np.int32)
-    vals2d = np.zeros((out_dim, ell, 2), np.uint32)
-    cols2d[out_idx[in_slab], pos[in_slab]] = in_idx[in_slab]
-    vals2d[out_idx[in_slab], pos[in_slab]] = vm[in_slab]
+    flat = (out_idx * ell + pos)[in_slab]
+    cols2d = np.zeros(out_dim * ell, np.int32)
+    vals2d = np.zeros((out_dim * ell, 2), np.uint32)
+    cols2d[flat] = in_idx[in_slab]
+    vals2d[flat] = vm[in_slab]
+    cols2d = cols2d.reshape(out_dim, ell)
+    vals2d = vals2d.reshape(out_dim, ell, 2)
 
     sp = ~in_slab
     s_out = out_idx[sp].astype(np.int32)
