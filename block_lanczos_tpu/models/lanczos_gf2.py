@@ -1,0 +1,323 @@
+"""Bitsliced block Lanczos over GF(2) — the integer-factorization case.
+
+Mirrors models/lanczos.py with the bit-packed representation of ops/gf2.py:
+a block of n vectors (n % 32 == 0) is (N, n/32) uint32 words; the SpMV
+streams only column indices (~4x fewer bytes per iteration than the
+generic mod-p path) and every reduction is XOR.  Iterates are bit-identical
+to the generic solver at p=2 for the same n (same xoshiro v0 stream; tested).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from block_lanczos_tpu.models.lanczos import SolveResult, pad_rows
+from block_lanczos_tpu.ops import gf2
+from block_lanczos_tpu.ops.gf2 import WORD, words
+from block_lanczos_tpu.ops.gfp import u32
+from block_lanczos_tpu.utils.mmio import COOMatrix
+from block_lanczos_tpu.utils.rng import Xoshiro256Plus
+
+
+# ---------------------------------------------------------------------------
+# Sparse operator: ELL slab of column indices + XOR-prefix spill
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class GF2Op:
+    """y[r] = XOR over k of x[cols[r, k]]; sentinel column = zero row of x."""
+    out_dim: int
+    in_dim: int          # true input dim; sentinel row index == in_dim
+    nnz: int
+    ell: int
+    cols: jax.Array      # (out_pad, L) int32; padding slots -> sentinel
+    spill_out: jax.Array
+    spill_in: jax.Array
+    spill_rowptr: jax.Array
+    spill_nnz: int
+
+    def tree_flatten(self):
+        return ((self.cols, self.spill_out, self.spill_in,
+                 self.spill_rowptr),
+                (self.out_dim, self.in_dim, self.nnz, self.ell,
+                 self.spill_nnz))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        cols, s_o, s_i, s_rp = children
+        out_dim, in_dim, nnz, ell, s_nnz = aux
+        return cls(out_dim, in_dim, nnz, ell, cols, s_o, s_i, s_rp, s_nnz)
+
+
+def make_gf2_op(out_idx, in_idx, out_dim: int, in_dim: int,
+                ell: int | None = None) -> GF2Op:
+    """Entries must already be reduced mod 2 and filtered to odd values."""
+    from block_lanczos_tpu.ops.spmm import (_within_row_positions,
+                                            choose_ell_width)
+    out_idx = np.asarray(out_idx, np.int64)
+    in_idx = np.asarray(in_idx, np.int64)
+    order = np.argsort(out_idx, kind="stable")
+    out_idx, in_idx = out_idx[order], in_idx[order]
+    nnz = len(out_idx)
+    counts = (np.bincount(out_idx, minlength=out_dim) if nnz
+              else np.zeros(out_dim, np.int64))
+    if ell is None:
+        ell = choose_ell_width(counts)
+    pos = _within_row_positions(out_idx)
+    in_slab = pos < ell
+    flat = (out_idx * ell + pos)[in_slab]
+    cols2d = np.full(out_dim * ell, in_dim, np.int32)  # sentinel (zero row)
+    cols2d[flat] = in_idx[in_slab]
+    cols2d = cols2d.reshape(out_dim, ell)
+
+    sp = ~in_slab
+    s_out = out_idx[sp].astype(np.int32)
+    s_in = in_idx[sp].astype(np.int32)
+    rowptr = np.searchsorted(s_out, np.arange(out_dim + 1)).astype(np.int32)
+    s_nnz = len(s_out)
+    if s_nnz == 0:
+        s_out = np.zeros(1, np.int32)
+        s_in = np.full(1, in_dim, np.int32)
+    return GF2Op(out_dim=out_dim, in_dim=in_dim, nnz=nnz, ell=int(ell),
+                 cols=jnp.asarray(cols2d), spill_out=jnp.asarray(s_out),
+                 spill_in=jnp.asarray(s_in), spill_rowptr=jnp.asarray(rowptr),
+                 spill_nnz=s_nnz)
+
+
+_ELL_UNROLL = 32
+
+
+def spmv_gf2(op: GF2Op, x_words, out_rows: int):
+    """y = op * x over GF(2); x_words (in_pad, W) with in_pad > in_dim and
+    row in_dim all-zero (the sentinel).  Returns (out_rows, W)."""
+    W = x_words.shape[1]
+    out_pad = op.cols.shape[0]
+
+    def slab_step(k, y):
+        ck = jax.lax.dynamic_index_in_dim(op.cols, k, 1, keepdims=False)
+        return y ^ x_words[ck]
+
+    y = jnp.zeros((out_pad, W), u32)
+    if op.ell <= _ELL_UNROLL:
+        for k in range(op.ell):
+            y = y ^ x_words[op.cols[:, k]]
+    else:
+        y = jax.lax.fori_loop(0, op.ell, slab_step, y)
+
+    if op.spill_nnz:
+        g = x_words[op.spill_in]                       # (s_nnz, W)
+        pref = jax.lax.associative_scan(jnp.bitwise_xor, g, axis=0)
+        pref = jnp.concatenate([jnp.zeros((1, W), u32), pref])
+        seg = pref[op.spill_rowptr[1:]] ^ pref[op.spill_rowptr[:-1]]
+        y = y ^ seg
+
+    if out_rows > out_pad:
+        y = jnp.pad(y, ((0, out_rows - out_pad), (0, 0)))
+    elif out_rows < out_pad:
+        y = y[:out_rows]
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Iteration
+# ---------------------------------------------------------------------------
+
+def _colmask(d):
+    """(n,) 0/1 -> (W,) words with bit c set iff d[c]."""
+    W = d.shape[0] // WORD
+    shifts = jnp.arange(WORD, dtype=u32)
+    return (d.astype(u32).reshape(W, WORD) << shifts).sum(axis=1, dtype=u32)
+
+
+def orthogonalize_gf2(v, Av, p_blk, d, vtAv, vtAAv, winv, n: int):
+    W = words(n)
+    cm = _colmask(d)[None, :]                     # (1, W)
+    spliced = (vtAAv & cm) | (vtAv & ~cm)
+    c = gf2.matmul_gf2(winv, spliced, n)          # (n, W); no negation in GF2
+    vtAvd = vtAv & cm
+
+    rhs = jnp.concatenate([
+        jnp.concatenate([c, winv], axis=1),
+        jnp.concatenate([vtAvd, jnp.zeros((n, W), u32)], axis=1)], axis=0)
+    upd = gf2.matmul_gf2(jnp.concatenate([v, p_blk], axis=1), rhs, 2 * n)
+
+    v_next = ((Av & cm) | (v & ~cm)) ^ upd[:, :W]
+    p_next = (p_blk & ~cm) ^ upd[:, W:]
+    return v_next, p_next
+
+
+def check_invariants_gf2(vtAv, vtAAv, winv, d, n: int):
+    ok = jnp.all(vtAv == gf2.transpose_bits(vtAv, n))
+    ok &= jnp.all(vtAAv == gf2.transpose_bits(vtAAv, n))
+    ok &= jnp.all(winv == gf2.transpose_bits(winv, n))
+    # support: winv[i, j] != 0 => d_i or d_j.  Rows with d_i = 1 pass
+    # trivially; rows with d_i = 0 must vanish outside the d columns.
+    cm = _colmask(d)[None, :]
+    db = d.astype(bool)
+    ok &= jnp.all(jnp.where(db[:, None], jnp.bool_(True),
+                            (winv & ~cm) == u32(0)))
+    vtAvd = vtAv & cm
+    check = gf2.matmul_gf2(winv, vtAvd, n)        # (n, W)
+    # expected: diag(d)
+    rows = jnp.arange(n)
+    eye = jnp.zeros((n, words(n)), u32).at[rows, rows // WORD].set(
+        jnp.where(d == 1, u32(1) << (rows % WORD).astype(u32), u32(0)))
+    ok &= jnp.all(check == eye)
+    return ok
+
+
+def iteration_step(first_op: GF2Op, second_op: GF2Op, n: int,
+                   mp_rows: int, np_rows: int, check: bool, v, p_blk):
+    tmp = spmv_gf2(first_op, v, out_rows=mp_rows)
+    Av = spmv_gf2(second_op, tmp, out_rows=np_rows)
+    grams = gf2.gram_gf2(jnp.concatenate([v, Av], axis=1), Av, 2 * n)
+    vtAv, vtAAv = grams[:n], grams[n:]
+    winv, d, npiv = gf2.semi_inverse_gf2(vtAv, n)
+    stop = npiv == 0
+    inv_ok = (check_invariants_gf2(vtAv, vtAAv, winv, d, n)
+              if check else jnp.bool_(True))
+    v_next, p_next = orthogonalize_gf2(v, Av, p_blk, d, vtAv, vtAAv, winv, n)
+    v_out = jnp.where(stop, v, v_next)
+    p_out = jnp.where(stop, p_blk, p_next)
+    return v_out, p_out, tmp, Av, vtAv, vtAAv, winv, d, stop, inv_ok
+
+
+def multi_iteration_step(first_op: GF2Op, second_op: GF2Op, n: int,
+                         mp_rows: int, np_rows: int, check: bool,
+                         v, p_blk, max_steps):
+    W = words(n)
+    zed = jnp.zeros((n, W), u32)
+    init = (v, p_blk, jnp.zeros((mp_rows, W), u32),
+            jnp.zeros((np_rows, W), u32), zed, zed, zed,
+            jnp.zeros((n,), u32), jnp.bool_(False), jnp.bool_(True),
+            jnp.uint32(0))
+
+    def cond(c):
+        stop, inv_ok, k = c[-3], c[-2], c[-1]
+        return (k < max_steps) & jnp.logical_not(stop) & inv_ok
+
+    def body(c):
+        out = iteration_step(first_op, second_op, n, mp_rows, np_rows,
+                             check, c[0], c[1])
+        return (*out, c[-1] + jnp.uint32(1))
+
+    return jax.lax.while_loop(cond, body, init)
+
+
+class BlockLanczosGF2:
+    """Single-device bitsliced GF(2) solver; API mirrors BlockLanczos.
+
+    Requires n % 32 == 0.  Entries that are even (0 mod 2) are dropped at
+    construction; remaining entries all equal 1.
+    """
+
+    def __init__(self, M: COOMatrix, n: int = 32, right: bool = False,
+                 pad_multiple: int = 8, check_invariants: bool = True,
+                 seed=None, sync_every: int | None = None):
+        assert int(M.prime) == 2, "BlockLanczosGF2 requires p == 2"
+        assert n % WORD == 0, "bitsliced GF(2) requires n % 32 == 0"
+        self.n = int(n)
+        self.W = words(self.n)
+        self.right = bool(right)
+        self.check_invariants = check_invariants
+        odd = (np.asarray(M.x) & 1) == 1
+        i, j = M.i[odd], M.j[odd]
+        self.nnz = int(odd.sum())
+        self.n_eff = M.ncols if right else M.nrows
+        self.m_eff = M.nrows if right else M.ncols
+        # +1 for the sentinel zero row the slab padding points at
+        self.np_rows = pad_rows(self.n_eff + 1, pad_multiple)
+        self.mp_rows = pad_rows(self.m_eff + 1, pad_multiple)
+        fwd = make_gf2_op(i, j, M.nrows, M.ncols)
+        bwd = make_gf2_op(j, i, M.ncols, M.nrows)
+        self.first_op = fwd if right else bwd
+        self.second_op = bwd if right else fwd
+        self.expected_iterations = 1 + self.m_eff // self.n
+        self._rng = Xoshiro256Plus() if seed is None else Xoshiro256Plus(seed)
+        self.sync_every = sync_every
+
+        multi = jax.jit(partial(multi_iteration_step), static_argnums=(2, 3, 4, 5),
+                        donate_argnums=(6, 7))
+        self._multi_step = lambda v, p_blk, k: multi(
+            self.first_op, self.second_op, self.n, self.mp_rows,
+            self.np_rows, self.check_invariants, v, p_blk, jnp.uint32(k))
+
+    def initial_block(self):
+        """v0 bits from the same xoshiro stream: random64() % 2 per entry."""
+        bits = self._rng.fill_mod(self.n_eff * self.n, 2)
+        block = np.zeros((self.np_rows, self.n), np.uint32)
+        block[:self.n_eff] = bits.reshape(self.n_eff, self.n)
+        return jnp.asarray(gf2.pack_bits_np(block))
+
+    def solve(self, stop_after: int = -1, verbose: bool = False,
+              on_iteration: Callable | None = None,
+              resume_state: dict | None = None) -> SolveResult:
+        if resume_state is None:
+            v = self.initial_block()
+            p_blk = jnp.zeros((self.np_rows, self.W), u32)
+            n_iterations = 0
+        else:
+            v = jnp.asarray(resume_state["v"])
+            p_blk = jnp.asarray(resume_state["p"])
+            n_iterations = int(resume_state["iteration"])
+        if verbose:
+            print("Block Lanczos [GF(2) bitsliced]")
+            print(f"  - Expecting {self.expected_iterations} iterations")
+            print("  - Main loop")
+
+        start = time.time()
+        tmp = None
+        stopped_by_limit = False
+        block = self.sync_every or 1
+        _ADAPT_CAP, _ADAPT_TARGET_S = 1024, 0.25
+        while True:
+            remaining = (stop_after - n_iterations if stop_after > 0
+                         else block)
+            if remaining <= 0:
+                stopped_by_limit = True
+                break
+            k_ask = min(block, remaining)
+            t_blk = time.time()
+            v, p_blk, tmp, Av, vtAv, vtAAv, winv, d, stop, inv_ok, k_done = \
+                self._multi_step(v, p_blk, k_ask)
+            k_done = int(k_done)
+            stop = bool(stop)
+            if self.check_invariants and not bool(inv_ok):
+                raise AssertionError(
+                    "device invariant check failed (GF2) at iteration "
+                    f"~{n_iterations + k_done}")
+            n_iterations += k_done - (1 if stop else 0)
+            if on_iteration is not None:
+                on_iteration(self, n_iterations, v, p_blk, start)
+            if stop:
+                break
+            if self.sync_every is None and block < _ADAPT_CAP and \
+                    time.time() - t_blk < _ADAPT_TARGET_S:
+                block *= 2
+
+        elapsed = time.time() - start
+        v_bits = gf2.unpack_bits_np(np.asarray(v), self.n)
+        v_nonzero = product_zero = None
+        if not stopped_by_limit:
+            tmp_bits = gf2.unpack_bits_np(np.asarray(tmp), self.n)
+            v_nonzero = bool((v_bits[:self.n_eff] != 0).any())
+            product_zero = bool((tmp_bits[:self.m_eff] == 0).all())
+            if verbose:
+                print("Final check:")
+                print(f"  - {'OK:    v != 0' if v_nonzero else 'KO:    v == 0'}")
+                print(f"  - {'OK: vt*M == 0' if product_zero else 'KO: vt*M != 0'}")
+        if verbose:
+            print(f"  - Terminated in {elapsed:.1f}s after "
+                  f"{n_iterations} iterations")
+        return SolveResult(kernel=v_bits[:self.n_eff],
+                           iterations=n_iterations,
+                           v_nonzero=v_nonzero, product_zero=product_zero,
+                           elapsed=elapsed, stopped_by_limit=stopped_by_limit)

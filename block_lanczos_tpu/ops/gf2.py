@@ -1,0 +1,191 @@
+"""Bitsliced GF(2) kernels: 32 field elements per uint32 word.
+
+p = 2 is the integer-factorization case — the reference's primary
+application (doc/sujet.pdf section 1: "p=2 pour la factorisation").  Its
+generic mod-p path spends a full uint32 per bit; here a block of n kernel
+vectors (n a multiple of 32) packs into n/32 words per row:
+
+  * addition is XOR, multiplication is AND — no Montgomery, no limbs,
+  * the SpMV streams ONLY column indices (every surviving entry is 1 mod 2;
+    entries that reduce to 0 are dropped at load), ~4x fewer bytes per
+    iteration than the generic path,
+  * Gram products are bit-parity contractions; the n x n matrices live as
+    (n, W) word matrices,
+  * the semi-inverse is Gauss-Jordan over GF(2): pivot = any set bit,
+    normalization is a no-op, elimination is a masked XOR.
+
+Same two-phase semi-inverse semantics and Thome recurrence as the generic
+field (reference: sequential/lanczos_modp.c:342-438,456-492), so iterates
+match the generic p=2 solver bit-for-bit on the same xoshiro stream.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from block_lanczos_tpu.ops.gfp import u32
+
+WORD = 32
+
+
+def words(n: int) -> int:
+    assert n % WORD == 0, "bitsliced GF(2) requires n % 32 == 0"
+    return n // WORD
+
+
+def pack_bits_np(block01: np.ndarray) -> np.ndarray:
+    """(N, n) 0/1 uint array -> (N, n/32) uint32 words (bit b = column b).
+
+    Column c of the block lives in word c//32, bit c%32 (little-endian),
+    matching the reference's column-major interpretation of the block.
+    """
+    N, n = block01.shape
+    W = words(n)
+    w = block01.astype(np.uint32).reshape(N, W, WORD)
+    shifts = np.arange(WORD, dtype=np.uint32)
+    return (w << shifts).sum(axis=2, dtype=np.uint32)
+
+
+def unpack_bits_np(wordsarr: np.ndarray, n: int) -> np.ndarray:
+    """(N, n/32) uint32 words -> (N, n) 0/1 uint32."""
+    N, W = wordsarr.shape
+    shifts = np.arange(WORD, dtype=np.uint32)
+    bits = (wordsarr[:, :, None] >> shifts) & 1
+    return bits.reshape(N, W * WORD).astype(np.uint32)[:, :n]
+
+
+def xor_reduce(x, axis: int = 0):
+    """XOR-reduction along an axis (exact, order-independent)."""
+    return jax.lax.reduce(x, jnp.uint32(0),
+                          jax.lax.bitwise_xor, (axis,))
+
+
+def bit_of(wordsarr, k: int):
+    """Extract bit-column k as a full mask (0 or 0xffffffff), shape (N,)."""
+    w, b = k // WORD, k % WORD
+    bit = (wordsarr[..., w] >> u32(b)) & u32(1)
+    return jnp.where(bit == 1, u32(0xFFFFFFFF), u32(0))
+
+
+def matmul_gf2(X_words, B_words, n_in: int):
+    """(N, Win) bit block @ (n_in, Wout) bit matrix over GF(2).
+
+    y[r] = XOR over k of (bit k of X row r) * B[k]; the k loop unrolls at
+    trace time (n_in <= 128) and XLA fuses it into one pass over X.
+    """
+    N = X_words.shape[0]
+    Wout = B_words.shape[1]
+    y = jnp.zeros((N, Wout), u32)
+    for k in range(n_in):
+        mask = bit_of(X_words, k)[:, None]           # (N, 1)
+        y = y ^ (mask & B_words[k][None, :])
+    return y
+
+
+def gram_gf2(X_words, Y_words, n_x: int):
+    """X^T @ Y over GF(2): (n_x, Wy) word matrix of parities.
+
+    Row a = XOR-parity over rows of (bit a of X) & Y.  Chunked over rows;
+    XOR is exact and order-independent so any chunking is bit-identical.
+    """
+    N, Wy = Y_words.shape
+    chunk = 1 << 16
+
+    def chunk_gram(Xc, Yc):
+        rows = []
+        for a in range(n_x):
+            mask = bit_of(Xc, a)[:, None]
+            rows.append(xor_reduce(mask & Yc, axis=0))
+        return jnp.stack(rows)                       # (n_x, Wy)
+
+    if N <= chunk:
+        return chunk_gram(X_words, Y_words)
+    pad = (-N) % chunk
+    if pad:
+        X_words = jnp.pad(X_words, ((0, pad), (0, 0)))
+        Y_words = jnp.pad(Y_words, ((0, pad), (0, 0)))
+    nchunks = (N + pad) // chunk
+
+    def body(acc, xy):
+        Xc, Yc = xy
+        return acc ^ chunk_gram(Xc, Yc), None
+
+    acc0 = jnp.zeros((n_x, Wy), u32)
+    acc, _ = jax.lax.scan(
+        body, acc0,
+        (X_words.reshape(nchunks, chunk, -1),
+         Y_words.reshape(nchunks, chunk, -1)))
+    return acc
+
+
+def transpose_bits(M_words, n: int):
+    """(n, W) bit matrix -> its transpose as (n, W) words (n <= 128)."""
+    cols = []
+    for a in range(n):
+        cols.append((bit_of(M_words, a) & u32(1)).astype(u32))  # (n,)
+    bits = jnp.stack(cols, axis=1)          # (n_rows=n, n_cols=n) -> wait:
+    # bits[r, a] = bit a of row r; transpose: out bit r of row a
+    bits_t = bits.T                          # (a, r)
+    W = words(n)
+    shifts = jnp.arange(WORD, dtype=u32)
+    packed = (bits_t.reshape(n, W, WORD).astype(u32) << shifts).sum(
+        axis=2, dtype=u32)
+    return packed
+
+
+def semi_inverse_gf2(U_words, n: int):
+    """(winv, d, npiv) over GF(2); same two-phase semantics as mod p.
+
+    U_words: (n, W).  Returns winv (n, W) words, d (n,) 0/1, npiv int32.
+    """
+    W = words(n)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+
+    def eliminate(M, Wv):
+        def body(j, state):
+            M, Wv, d, npiv = state
+            w, b = j // WORD, j % WORD
+            col = (M[:, w] >> jnp.uint32(b)) & u32(1)
+            cand = (col == 1) & (rows >= j)
+            found = jnp.any(cand)
+            pivot = jnp.argmax(cand).astype(jnp.int32)
+
+            perm = jnp.where(rows == j, pivot,
+                             jnp.where(rows == pivot, j, rows))
+            M2 = M[perm]
+            W2 = Wv[perm]
+            rowj_M = M2[j]
+            rowj_W = W2[j]
+            colj = (M2[:, w] >> jnp.uint32(b)) & u32(1)
+            elim = ((colj == 1) & (rows != j))[:, None]
+            M3 = jnp.where(elim, M2 ^ rowj_M[None, :], M2)
+            W3 = jnp.where(elim, W2 ^ rowj_W[None, :], W2)
+
+            M = jnp.where(found, M3, M)
+            Wv = jnp.where(found, W3, Wv)
+            d = d.at[j].set(found.astype(u32))
+            npiv = npiv + found.astype(jnp.int32)
+            return M, Wv, d, npiv
+
+        d0 = jnp.zeros(n, u32)
+        return jax.lax.fori_loop(0, n, body, (M, Wv, d0, jnp.int32(0)))
+
+    scratch = jnp.zeros_like(U_words)
+    _, _, d1, _ = eliminate(U_words, scratch)
+
+    # phase 2: re-eliminate on the d-masked matrix, tracking winv
+    shifts = jnp.arange(WORD, dtype=u32)
+    col_mask_words = (d1.reshape(W, WORD) << shifts).sum(
+        axis=1, dtype=u32)                            # (W,) column mask by d
+    M2 = jnp.where((d1 == 1)[:, None], U_words & col_mask_words[None, :],
+                   u32(0))
+    # identity * d as words: bit r of row r, if d[r]
+    bitpos = (rows % WORD).astype(u32)
+    wordpos = rows // WORD
+    eye = jnp.zeros((n, W), u32)
+    eye = eye.at[rows, wordpos].set(
+        jnp.where(d1 == 1, u32(1) << bitpos, u32(0)))
+    _, winv, d, npiv = eliminate(M2, eye)
+    return winv, d, npiv

@@ -114,6 +114,16 @@ def main(argv=None) -> int:
                 M, n=args.n, right=right, mesh=mesh,
                 check_invariants=not args.no_checks,
                 sync_every=args.sync_every)
+    elif args.prime == 2 and args.n % 32 == 0 and args.grid is None and \
+            (args.single or args.devices in (None, 1)) and \
+            (args.single or len(jax.devices()) == 1):
+        # the factorization case: bitsliced GF(2), 32 elements per word
+        from block_lanczos_tpu.models.lanczos_gf2 import BlockLanczosGF2
+        print("  - GF(2) bitsliced path (p = 2, n % 32 == 0)",
+              file=sys.stderr)
+        solver = BlockLanczosGF2(M, n=args.n, right=right,
+                                 check_invariants=not args.no_checks,
+                                 sync_every=args.sync_every)
     elif args.single:
         from block_lanczos_tpu.models.lanczos import BlockLanczos
         solver = BlockLanczos(M, n=args.n, right=right,

@@ -1,0 +1,135 @@
+"""Bitsliced GF(2) path: kernels vs oracles, bit-exactness vs the generic
+mod-p solver at p=2, end-to-end checker validation."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from block_lanczos_tpu.models.lanczos import BlockLanczos
+from block_lanczos_tpu.models.lanczos_gf2 import (BlockLanczosGF2,
+                                                  make_gf2_op, spmv_gf2)
+from block_lanczos_tpu.ops import gf2
+from block_lanczos_tpu.ops.semi_inverse import semi_inverse_np
+from block_lanczos_tpu.utils import checker, mmio
+from block_lanczos_tpu.utils.gen import random_sparse
+
+
+def test_pack_unpack_roundtrip():
+    rng = np.random.default_rng(0)
+    block = rng.integers(0, 2, size=(37, 64)).astype(np.uint32)
+    w = gf2.pack_bits_np(block)
+    assert w.shape == (37, 2)
+    np.testing.assert_array_equal(gf2.unpack_bits_np(w, 64), block)
+
+
+def test_matmul_gf2_vs_numpy():
+    rng = np.random.default_rng(1)
+    n = 64
+    X = rng.integers(0, 2, size=(100, n)).astype(np.uint32)
+    B = rng.integers(0, 2, size=(n, n)).astype(np.uint32)
+    got = gf2.matmul_gf2(jnp.asarray(gf2.pack_bits_np(X)),
+                         jnp.asarray(gf2.pack_bits_np(B)), n)
+    exp = (X @ B) % 2
+    np.testing.assert_array_equal(gf2.unpack_bits_np(np.asarray(got), n), exp)
+
+
+def test_gram_gf2_vs_numpy():
+    rng = np.random.default_rng(2)
+    n = 32
+    X = rng.integers(0, 2, size=(500, n)).astype(np.uint32)
+    Y = rng.integers(0, 2, size=(500, n)).astype(np.uint32)
+    got = gf2.gram_gf2(jnp.asarray(gf2.pack_bits_np(X)),
+                       jnp.asarray(gf2.pack_bits_np(Y)), n)
+    exp = (X.T @ Y) % 2
+    np.testing.assert_array_equal(gf2.unpack_bits_np(np.asarray(got), n), exp)
+
+
+def test_transpose_bits():
+    rng = np.random.default_rng(3)
+    n = 64
+    M = rng.integers(0, 2, size=(n, n)).astype(np.uint32)
+    got = gf2.transpose_bits(jnp.asarray(gf2.pack_bits_np(M)), n)
+    np.testing.assert_array_equal(gf2.unpack_bits_np(np.asarray(got), n), M.T)
+
+
+def test_semi_inverse_gf2_vs_generic():
+    rng = np.random.default_rng(4)
+    n = 32
+    for trial in range(4):
+        A = rng.integers(0, 2, size=(n, n)).astype(np.uint32)
+        U = (A + A.T) % 2
+        if trial == 2:
+            U[0, :] = 0
+            U[:, 0] = 0
+        if trial == 3:
+            U[:] = 0
+        W2, d2, npiv2 = gf2.semi_inverse_gf2(
+            jnp.asarray(gf2.pack_bits_np(U)), n)
+        Wg, dg, npivg = semi_inverse_np(2, U)
+        assert int(npiv2) == npivg
+        np.testing.assert_array_equal(np.asarray(d2), dg)
+        np.testing.assert_array_equal(
+            gf2.unpack_bits_np(np.asarray(W2), n), Wg)
+
+
+def test_spmv_gf2_vs_oracle():
+    rng = np.random.default_rng(5)
+    nr, nc, n = 80, 60, 32
+    i, j, x = random_sparse(nr, nc, 4, seed=6)
+    odd = (x & 1) == 1
+    i, j = i[odd], j[odd]
+    op = make_gf2_op(i, j, nr, nc)
+    X = rng.integers(0, 2, size=(nc + 8, n)).astype(np.uint32)
+    X[nc:] = 0  # sentinel + padding rows
+    y = spmv_gf2(op, jnp.asarray(gf2.pack_bits_np(X)), out_rows=nr)
+    exp = np.zeros((nr, n), np.uint32)
+    for a, b in zip(i, j):
+        exp[a] ^= X[b]
+    np.testing.assert_array_equal(
+        gf2.unpack_bits_np(np.asarray(y), n), exp)
+
+
+def test_gf2_solver_matches_generic_p2():
+    """Bitsliced n=32 == generic mod-p solver at p=2, n=32, bit for bit."""
+    i, j, x = random_sparse(96, 64, 5, seed=7)
+    M = mmio.COOMatrix(96, 64, len(x), i.astype(np.int32), j.astype(np.int32),
+                       (x % 2).astype(np.uint32), 2)
+    rg = BlockLanczos(M, n=32, check_invariants=True).solve()
+    rb = BlockLanczosGF2(M, n=32, check_invariants=True).solve()
+    assert rb.iterations == rg.iterations
+    np.testing.assert_array_equal(rb.kernel, rg.kernel)
+    assert rb.v_nonzero and rb.product_zero
+
+
+def test_gf2_end_to_end_checker(tmp_path):
+    i, j, x = random_sparse(120, 80, 5, seed=8)
+    M = mmio.COOMatrix(120, 80, len(x), i.astype(np.int32),
+                       j.astype(np.int32), (x % 2).astype(np.uint32), 2)
+    res = BlockLanczosGF2(M, n=64, check_invariants=True).solve()
+    assert res.v_nonzero and res.product_zero
+    mtx = str(tmp_path / "m.mtx")
+    kern = str(tmp_path / "k.mtx")
+    mmio.write_coo_mtx(mtx, M.nrows, M.ncols, M.i, M.j, M.x)
+    mmio.write_kernel_mtx(kern, res.kernel, M.nrows, 64)
+    assert checker.check_kernel_file(mtx, kern, 2) is True
+
+
+def test_gf2_right_kernel():
+    # NOTE: over GF(2), tiny matrices with block width comparable to the
+    # dimension frequently hit the inherent Lanczos self-orthogonality
+    # breakdown (the generic solver and the reference behave identically —
+    # final check reports KO); this config converges.
+    i, j, x = random_sparse(256, 384, 6, seed=10)
+    M = mmio.COOMatrix(256, 384, len(x), i.astype(np.int32),
+                       j.astype(np.int32), (x % 2).astype(np.uint32), 2)
+    res = BlockLanczosGF2(M, n=32, right=True, check_invariants=True).solve()
+    assert res.v_nonzero and res.product_zero
+
+
+def test_gf2_requires_n_multiple_of_32():
+    i, j, x = random_sparse(16, 8, 2, seed=10)
+    M = mmio.COOMatrix(16, 8, len(x), i.astype(np.int32), j.astype(np.int32),
+                       (x % 2).astype(np.uint32), 2)
+    with pytest.raises(AssertionError):
+        BlockLanczosGF2(M, n=4)
