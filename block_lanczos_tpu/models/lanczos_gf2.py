@@ -33,33 +33,40 @@ from block_lanczos_tpu.utils.rng import Xoshiro256Plus
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class GF2Op:
-    """y[r] = XOR over k of x[cols[r, k]]; sentinel column = zero row of x."""
+    """y[r] = XOR over k of (valid[r,k] ? x[cols[r, k]] : 0).
+
+    `valid` is bit-packed: bit k%32 of valid[r, k//32] marks slot (r, k)
+    as a real entry; padding slots contribute nothing, so x needs no
+    sentinel zero row (works with fully-populated shards under shard_map).
+    """
     out_dim: int
-    in_dim: int          # true input dim; sentinel row index == in_dim
+    in_dim: int
     nnz: int
     ell: int
-    cols: jax.Array      # (out_pad, L) int32; padding slots -> sentinel
+    cols: jax.Array      # (out_pad, L) int32; padding slots -> 0
+    valid: jax.Array     # (out_pad, ceil(L/32)) uint32 bit-mask
     spill_out: jax.Array
     spill_in: jax.Array
     spill_rowptr: jax.Array
     spill_nnz: int
 
     def tree_flatten(self):
-        return ((self.cols, self.spill_out, self.spill_in,
+        return ((self.cols, self.valid, self.spill_out, self.spill_in,
                  self.spill_rowptr),
                 (self.out_dim, self.in_dim, self.nnz, self.ell,
                  self.spill_nnz))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        cols, s_o, s_i, s_rp = children
+        cols, valid, s_o, s_i, s_rp = children
         out_dim, in_dim, nnz, ell, s_nnz = aux
-        return cls(out_dim, in_dim, nnz, ell, cols, s_o, s_i, s_rp, s_nnz)
+        return cls(out_dim, in_dim, nnz, ell, cols, valid,
+                   s_o, s_i, s_rp, s_nnz)
 
 
-def make_gf2_op(out_idx, in_idx, out_dim: int, in_dim: int,
-                ell: int | None = None) -> GF2Op:
-    """Entries must already be reduced mod 2 and filtered to odd values."""
+def build_gf2_arrays(out_idx, in_idx, out_dim: int,
+                     ell: int | None = None, spill_pad_to: int | None = None):
+    """Host-side slab/valid/spill construction (NumPy arrays)."""
     from block_lanczos_tpu.ops.spmm import (_within_row_positions,
                                             choose_ell_width)
     out_idx = np.asarray(out_idx, np.int64)
@@ -74,20 +81,38 @@ def make_gf2_op(out_idx, in_idx, out_dim: int, in_dim: int,
     pos = _within_row_positions(out_idx)
     in_slab = pos < ell
     flat = (out_idx * ell + pos)[in_slab]
-    cols2d = np.full(out_dim * ell, in_dim, np.int32)  # sentinel (zero row)
+    cols2d = np.zeros(out_dim * ell, np.int32)
     cols2d[flat] = in_idx[in_slab]
     cols2d = cols2d.reshape(out_dim, ell)
+    vwords = (ell + WORD - 1) // WORD
+    valid = np.zeros((out_dim, vwords * WORD), np.uint32)
+    valid.reshape(-1)[(out_idx * (vwords * WORD) + pos)[in_slab]] = 1
+    valid = gf2.pack_bits_np(valid)
 
     sp = ~in_slab
     s_out = out_idx[sp].astype(np.int32)
     s_in = in_idx[sp].astype(np.int32)
     rowptr = np.searchsorted(s_out, np.arange(out_dim + 1)).astype(np.int32)
     s_nnz = len(s_out)
-    if s_nnz == 0:
-        s_out = np.zeros(1, np.int32)
-        s_in = np.full(1, in_dim, np.int32)
-    return GF2Op(out_dim=out_dim, in_dim=in_dim, nnz=nnz, ell=int(ell),
-                 cols=jnp.asarray(cols2d), spill_out=jnp.asarray(s_out),
+    target = max(s_nnz, spill_pad_to or 0, 1)
+    pad = target - s_nnz
+    if pad:
+        # padded spill entries repeat index 0 an even number of times per
+        # fake segment? simpler: they sit past rowptr[out_dim] and are
+        # sliced away by the prefix-difference, contributing nothing.
+        s_out = np.concatenate([s_out, np.full(pad, out_dim - 1, np.int32)])
+        s_in = np.concatenate([s_in, np.zeros(pad, np.int32)])
+    return cols2d, valid, (s_out, s_in, s_nnz, rowptr), nnz, int(ell)
+
+
+def make_gf2_op(out_idx, in_idx, out_dim: int, in_dim: int,
+                ell: int | None = None) -> GF2Op:
+    """Entries must already be reduced mod 2 and filtered to odd values."""
+    cols2d, valid, (s_out, s_in, s_nnz, rowptr), nnz, ell = \
+        build_gf2_arrays(out_idx, in_idx, out_dim, ell=ell)
+    return GF2Op(out_dim=out_dim, in_dim=in_dim, nnz=nnz, ell=ell,
+                 cols=jnp.asarray(cols2d), valid=jnp.asarray(valid),
+                 spill_out=jnp.asarray(s_out),
                  spill_in=jnp.asarray(s_in), spill_rowptr=jnp.asarray(rowptr),
                  spill_nnz=s_nnz)
 
@@ -96,24 +121,32 @@ _ELL_UNROLL = 32
 
 
 def spmv_gf2(op: GF2Op, x_words, out_rows: int):
-    """y = op * x over GF(2); x_words (in_pad, W) with in_pad > in_dim and
-    row in_dim all-zero (the sentinel).  Returns (out_rows, W)."""
+    """y = op * x over GF(2); x_words (in_pad, W), in_pad >= in_dim.
+    Returns (out_rows, W); rows past out_dim are zero."""
     W = x_words.shape[1]
     out_pad = op.cols.shape[0]
 
+    def step(k_static, y, ck):
+        mask = gf2.bit_of(op.valid, k_static)[:, None]
+        return y ^ (mask & x_words[ck])
+
     def slab_step(k, y):
         ck = jax.lax.dynamic_index_in_dim(op.cols, k, 1, keepdims=False)
-        return y ^ x_words[ck]
+        w = k // WORD
+        vw = jax.lax.dynamic_index_in_dim(op.valid, w, 1, keepdims=False)
+        bit = (vw >> (k % WORD).astype(jnp.uint32)) & u32(1)
+        mask = jnp.where(bit == 1, u32(0xFFFFFFFF), u32(0))[:, None]
+        return y ^ (mask & x_words[ck])
 
     y = jnp.zeros((out_pad, W), u32)
     if op.ell <= _ELL_UNROLL:
         for k in range(op.ell):
-            y = y ^ x_words[op.cols[:, k]]
+            y = step(k, y, op.cols[:, k])
     else:
         y = jax.lax.fori_loop(0, op.ell, slab_step, y)
 
     if op.spill_nnz:
-        g = x_words[op.spill_in]                       # (s_nnz, W)
+        g = x_words[op.spill_in]                       # (s_nnz_pad, W)
         pref = jax.lax.associative_scan(jnp.bitwise_xor, g, axis=0)
         pref = jnp.concatenate([jnp.zeros((1, W), u32), pref])
         seg = pref[op.spill_rowptr[1:]] ^ pref[op.spill_rowptr[:-1]]
@@ -233,9 +266,8 @@ class BlockLanczosGF2:
         self.nnz = int(odd.sum())
         self.n_eff = M.ncols if right else M.nrows
         self.m_eff = M.nrows if right else M.ncols
-        # +1 for the sentinel zero row the slab padding points at
-        self.np_rows = pad_rows(self.n_eff + 1, pad_multiple)
-        self.mp_rows = pad_rows(self.m_eff + 1, pad_multiple)
+        self.np_rows = pad_rows(self.n_eff, pad_multiple)
+        self.mp_rows = pad_rows(self.m_eff, pad_multiple)
         fwd = make_gf2_op(i, j, M.nrows, M.ncols)
         bwd = make_gf2_op(j, i, M.ncols, M.nrows)
         self.first_op = fwd if right else bwd

@@ -169,10 +169,14 @@ def semi_inverse_gf2(U_words, n: int):
             npiv = npiv + found.astype(jnp.int32)
             return M, Wv, d, npiv
 
-        d0 = jnp.zeros(n, u32)
-        return jax.lax.fori_loop(0, n, body, (M, Wv, d0, jnp.int32(0)))
+        # inits derived from M so their varying-manual-axes types match the
+        # loop body outputs under shard_map (fresh zeros are "unvarying")
+        zrow = M[:, 0] ^ M[:, 0]                  # (n,) zeros, M's vma
+        d0 = zrow
+        npiv0 = (M[0, 0] ^ M[0, 0]).astype(jnp.int32)
+        return jax.lax.fori_loop(0, n, body, (M, Wv, d0, npiv0))
 
-    scratch = jnp.zeros_like(U_words)
+    scratch = U_words ^ U_words
     _, _, d1, _ = eliminate(U_words, scratch)
 
     # phase 2: re-eliminate on the d-masked matrix, tracking winv
@@ -187,5 +191,6 @@ def semi_inverse_gf2(U_words, n: int):
     eye = jnp.zeros((n, W), u32)
     eye = eye.at[rows, wordpos].set(
         jnp.where(d1 == 1, u32(1) << bitpos, u32(0)))
+    eye = eye ^ (U_words ^ U_words)   # inherit U's vma (shard_map)
     _, winv, d, npiv = eliminate(M2, eye)
     return winv, d, npiv

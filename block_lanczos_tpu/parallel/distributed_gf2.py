@@ -1,0 +1,320 @@
+"""Multi-device bitsliced GF(2) block Lanczos.
+
+Mirrors parallel/distributed.py with the bit-packed representation of
+ops/gf2.py.  The one structural difference from the mod-p meshes: the
+cross-device reduction is XOR, which has no native psum, so partials ride
+`all_gather` + a local XOR fold (exact, order-independent; word counts per
+reduction are tiny — (band, n/32) words).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from block_lanczos_tpu.models import lanczos_gf2 as lg
+from block_lanczos_tpu.models.lanczos import SolveResult
+from block_lanczos_tpu.ops import gf2
+from block_lanczos_tpu.ops.gf2 import WORD, words
+from block_lanczos_tpu.ops.gfp import u32
+from block_lanczos_tpu.parallel.mesh import COLS_AXIS, ROWS_AXIS
+from block_lanczos_tpu.parallel.sharding import _band_size
+from block_lanczos_tpu.utils.mmio import COOMatrix
+from block_lanczos_tpu.utils.rng import Xoshiro256Plus
+
+
+def pxor(x, axis_name: str):
+    """Exact XOR all-reduce over a mesh axis.
+
+    XOR has no native collective; bitwise parity does: expand each uint32
+    word into 32 uint8 bit-planes, psum them (exact for up to 255 devices
+    per axis), and keep the low bit.  psum also yields the axis-invariant
+    result type that lets the value live in while_loop carries under
+    shard_map (an all_gather + local fold stays "varying" and cannot).
+    8x the payload of an ideal XOR reduce — payloads here are (band, n/32)
+    words, so this is noise next to the SpMV.
+    """
+    shifts = jnp.arange(WORD, dtype=u32)
+    planes = ((x[..., None] >> shifts) & u32(1)).astype(jnp.uint8)
+    s = jax.lax.psum(planes, axis_name)
+    bits = (s & jnp.uint8(1)).astype(u32)
+    return (bits << shifts).sum(axis=-1, dtype=u32)
+
+
+@dataclasses.dataclass
+class _GF2StackedDir:
+    ell: int
+    cols: jax.Array          # (R, C, out_band, L) int32
+    valid: jax.Array         # (R, C, out_band, ceil(L/32)) uint32
+    spill_out: jax.Array
+    spill_in: jax.Array
+    spill_rowptr: jax.Array
+
+    def leaves(self):
+        return (self.cols, self.valid, self.spill_out, self.spill_in,
+                self.spill_rowptr)
+
+
+@dataclasses.dataclass
+class GF2ShardedOps:
+    grid: tuple
+    band: int
+    mband: int
+    np_rows: int
+    mp_rows: int
+    n_eff: int
+    m_eff: int
+    first: _GF2StackedDir
+    second: _GF2StackedDir
+
+    def _local(self, d: _GF2StackedDir, out_dim: int, in_dim: int,
+               leaves) -> lg.GF2Op:
+        cols, valid, s_o, s_i, s_rp = (leaf[0, 0] for leaf in leaves)
+        return lg.GF2Op(out_dim=out_dim, in_dim=in_dim, nnz=-1, ell=d.ell,
+                        cols=cols, valid=valid, spill_out=s_o, spill_in=s_i,
+                        spill_rowptr=s_rp, spill_nnz=int(s_o.shape[0]))
+
+    def local_first(self, leaves):
+        return self._local(self.first, self.mband, self.band, leaves)
+
+    def local_second(self, leaves):
+        return self._local(self.second, self.band, self.mband, leaves)
+
+
+def partition_matrix_gf2(M: COOMatrix, right: bool, mesh: jax.sharding.Mesh,
+                         pad_multiple: int = 8) -> GF2ShardedOps:
+    R = mesh.shape[ROWS_AXIS]
+    C = mesh.shape[COLS_AXIS]
+    odd = (np.asarray(M.x) & 1) == 1
+    mi, mj = M.i[odd], M.j[odd]
+    n_eff = M.ncols if right else M.nrows
+    m_eff = M.nrows if right else M.ncols
+    key = (mj if right else mi).astype(np.int64)
+    other = (mi if right else mj).astype(np.int64)
+    band = _band_size(n_eff, R, pad_multiple)
+    mband = _band_size(m_eff, C, pad_multiple)
+
+    rshard = key // band
+    cshard = other // mband
+    first_parts, second_parts = [], []
+    for r in range(R):
+        for c in range(C):
+            sel = (rshard == r) & (cshard == c)
+            lk = (key[sel] - r * band).astype(np.int32)
+            lo = (other[sel] - c * mband).astype(np.int32)
+            first_parts.append((lo, lk))
+            second_parts.append((lk, lo))
+
+    nnz_sharding = NamedSharding(mesh, P(ROWS_AXIS, COLS_AXIS))
+
+    def build_dir(parts, out_dim) -> _GF2StackedDir:
+        from block_lanczos_tpu.ops.spmm import choose_ell_width
+        ell = 1
+        for (oi, _ii) in parts:
+            counts = (np.bincount(oi, minlength=out_dim) if len(oi)
+                      else np.zeros(out_dim, np.int64))
+            ell = max(ell, choose_ell_width(counts))
+        built, spill_pad = [], 1
+        for (oi, ii) in parts:
+            arrs = lg.build_gf2_arrays(oi, ii, out_dim, ell=ell)
+            built.append(arrs)
+            spill_pad = max(spill_pad, arrs[2][0].shape[0])
+        cols_l, val_l, so_l, si_l, srp_l = [], [], [], [], []
+        for arrs, (oi, ii) in zip(built, parts):
+            if arrs[2][0].shape[0] != spill_pad:
+                arrs = lg.build_gf2_arrays(oi, ii, out_dim, ell=ell,
+                                           spill_pad_to=spill_pad)
+            cols2d, valid, (s_o, s_i, _n, s_rp), _nnz, _e = arrs
+            cols_l.append(cols2d); val_l.append(valid)
+            so_l.append(s_o); si_l.append(s_i); srp_l.append(s_rp)
+
+        def stack(xs):
+            arr = np.stack(xs)
+            arr = arr.reshape((R, C) + arr.shape[1:])
+            return jax.device_put(arr, nnz_sharding)
+
+        return _GF2StackedDir(ell=ell, cols=stack(cols_l),
+                              valid=stack(val_l), spill_out=stack(so_l),
+                              spill_in=stack(si_l), spill_rowptr=stack(srp_l))
+
+    first = build_dir(first_parts, mband)
+    second = build_dir(second_parts, band)
+    return GF2ShardedOps(grid=(R, C), band=band, mband=mband,
+                         np_rows=band * R, mp_rows=mband * C,
+                         n_eff=n_eff, m_eff=m_eff,
+                         first=first, second=second)
+
+
+def _local_step(ops: GF2ShardedOps, n: int, check: bool,
+                first_leaves, second_leaves, v_local, p_local):
+    first = ops.local_first(first_leaves)
+    second = ops.local_second(second_leaves)
+
+    tmp = pxor(lg.spmv_gf2(first, v_local, out_rows=ops.mband), ROWS_AXIS)
+    Av_local = pxor(lg.spmv_gf2(second, tmp, out_rows=ops.band), COLS_AXIS)
+
+    grams = pxor(gf2.gram_gf2(
+        jnp.concatenate([v_local, Av_local], axis=1), Av_local, 2 * n),
+        ROWS_AXIS)
+    vtAv, vtAAv = grams[:n], grams[n:]
+
+    winv, d, npiv = gf2.semi_inverse_gf2(vtAv, n)
+    stop = npiv == 0
+    inv_ok = (lg.check_invariants_gf2(vtAv, vtAAv, winv, d, n)
+              if check else jnp.bool_(True))
+
+    v_next, p_next = lg.orthogonalize_gf2(
+        v_local, Av_local, p_local, d, vtAv, vtAAv, winv, n)
+    v_out = jnp.where(stop, v_local, v_next)
+    p_out = jnp.where(stop, p_local, p_next)
+    return v_out, p_out, tmp, vtAv, vtAAv, winv, d, stop, inv_ok
+
+
+def _local_multi_step(ops: GF2ShardedOps, n: int, check: bool,
+                      first_leaves, second_leaves, v_local, p_local,
+                      max_steps):
+    W = words(n)
+    zed = jnp.zeros((n, W), u32)
+    tmp0 = jax.lax.pcast(jnp.zeros((ops.mband, W), u32), (COLS_AXIS,),
+                         to="varying")
+    init = (v_local, p_local, tmp0, zed, zed, zed,
+            jnp.zeros((n,), u32), jnp.bool_(False), jnp.bool_(True),
+            jnp.uint32(0))
+
+    def cond(c):
+        stop, inv_ok, k = c[-3], c[-2], c[-1]
+        return (k < max_steps) & jnp.logical_not(stop) & inv_ok
+
+    def body(c):
+        out = _local_step(ops, n, check, first_leaves, second_leaves,
+                          c[0], c[1])
+        return (*out, c[-1] + jnp.uint32(1))
+
+    return jax.lax.while_loop(cond, body, init)
+
+
+class ShardedBlockLanczosGF2:
+    """Multi-device bitsliced GF(2) solver; API mirrors ShardedBlockLanczos."""
+
+    def __init__(self, M: COOMatrix, n: int = 32, right: bool = False,
+                 mesh: jax.sharding.Mesh | None = None,
+                 pad_multiple: int = 8, check_invariants: bool = True,
+                 sync_every: int | None = None):
+        from block_lanczos_tpu.parallel.mesh import make_mesh
+        assert int(M.prime) == 2 and n % WORD == 0
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.n = int(n)
+        self.W = words(self.n)
+        self.right = bool(right)
+        self.check_invariants = check_invariants
+        self.ops = partition_matrix_gf2(M, right, self.mesh,
+                                        pad_multiple=pad_multiple)
+        self.n_eff = self.ops.n_eff
+        self.m_eff = self.ops.m_eff
+        self.np_rows = self.ops.np_rows
+        self.expected_iterations = 1 + self.m_eff // self.n
+        self._rng = Xoshiro256Plus()
+        self._vec_sharding = NamedSharding(self.mesh, P(ROWS_AXIS, None))
+        self.sync_every = sync_every
+
+        nnz_spec = P(ROWS_AXIS, COLS_AXIS)
+        v_spec = P(ROWS_AXIS, None)
+        tmp_spec = P(COLS_AXIS, None)
+        rep2 = P(None, None)
+        n_leaves = len(self.ops.first.leaves())
+        mbody = partial(_local_multi_step, self.ops, self.n,
+                        check_invariants)
+        msmapped = jax.shard_map(
+            mbody, mesh=self.mesh,
+            in_specs=((nnz_spec,) * n_leaves, (nnz_spec,) * n_leaves,
+                      v_spec, v_spec, P()),
+            out_specs=(v_spec, v_spec, tmp_spec, rep2, rep2, rep2,
+                       P(None), P(), P(), P()))
+        self._multi_step = jax.jit(msmapped, donate_argnums=(2, 3))
+
+    def initial_block(self):
+        bits = self._rng.fill_mod(self.n_eff * self.n, 2)
+        block = np.zeros((self.np_rows, self.n), np.uint32)
+        block[:self.n_eff] = bits.reshape(self.n_eff, self.n)
+        return jax.device_put(gf2.pack_bits_np(block), self._vec_sharding)
+
+    def _step_args(self):
+        return (self.ops.first.leaves(), self.ops.second.leaves())
+
+    def solve(self, stop_after: int = -1, verbose: bool = False,
+              on_iteration: Callable | None = None,
+              resume_state: dict | None = None) -> SolveResult:
+        if resume_state is None:
+            v = self.initial_block()
+            p_blk = jax.device_put(np.zeros((self.np_rows, self.W), np.uint32),
+                                   self._vec_sharding)
+            n_iterations = 0
+        else:
+            v = jax.device_put(np.asarray(resume_state["v"]),
+                               self._vec_sharding)
+            p_blk = jax.device_put(np.asarray(resume_state["p"]),
+                                   self._vec_sharding)
+            n_iterations = int(resume_state["iteration"])
+        if verbose:
+            R, C = self.ops.grid
+            print(f"Block Lanczos [GF(2) bitsliced, sharded {R}x{C}]")
+            print(f"  - Expecting {self.expected_iterations} iterations")
+            print("  - Main loop")
+
+        args = self._step_args()
+        start = time.time()
+        tmp = None
+        stopped_by_limit = False
+        block = self.sync_every or 1
+        _ADAPT_CAP, _ADAPT_TARGET_S = 1024, 0.25
+        while True:
+            remaining = (stop_after - n_iterations if stop_after > 0
+                         else block)
+            if remaining <= 0:
+                stopped_by_limit = True
+                break
+            k_ask = min(block, remaining)
+            t_blk = time.time()
+            v, p_blk, tmp, vtAv, vtAAv, winv, d, stop, inv_ok, k_done = \
+                self._multi_step(*args, v, p_blk, jnp.uint32(k_ask))
+            k_done = int(k_done)
+            stop = bool(stop)
+            if self.check_invariants and not bool(inv_ok):
+                raise AssertionError(
+                    "device invariant check failed (GF2, sharded) at "
+                    f"iteration ~{n_iterations + k_done}")
+            n_iterations += k_done - (1 if stop else 0)
+            if on_iteration is not None:
+                on_iteration(self, n_iterations, v, p_blk, start)
+            if stop:
+                break
+            if self.sync_every is None and block < _ADAPT_CAP and \
+                    time.time() - t_blk < _ADAPT_TARGET_S:
+                block *= 2
+
+        elapsed = time.time() - start
+        v_bits = gf2.unpack_bits_np(np.asarray(jax.device_get(v)), self.n)
+        v_nonzero = product_zero = None
+        if not stopped_by_limit:
+            tmp_bits = gf2.unpack_bits_np(
+                np.asarray(jax.device_get(tmp)), self.n)
+            v_nonzero = bool((v_bits[:self.n_eff] != 0).any())
+            product_zero = bool((tmp_bits[:self.m_eff] == 0).all())
+            if verbose:
+                print("Final check:")
+                print(f"  - {'OK:    v != 0' if v_nonzero else 'KO:    v == 0'}")
+                print(f"  - {'OK: vt*M == 0' if product_zero else 'KO: vt*M != 0'}")
+        if verbose:
+            print(f"  - Terminated in {elapsed:.1f}s after "
+                  f"{n_iterations} iterations")
+        return SolveResult(kernel=v_bits[:self.n_eff],
+                           iterations=n_iterations,
+                           v_nonzero=v_nonzero, product_zero=product_zero,
+                           elapsed=elapsed, stopped_by_limit=stopped_by_limit)

@@ -114,16 +114,26 @@ def main(argv=None) -> int:
                 M, n=args.n, right=right, mesh=mesh,
                 check_invariants=not args.no_checks,
                 sync_every=args.sync_every)
-    elif args.prime == 2 and args.n % 32 == 0 and args.grid is None and \
-            (args.single or args.devices in (None, 1)) and \
-            (args.single or len(jax.devices()) == 1):
+    elif args.prime == 2 and args.n % 32 == 0:
         # the factorization case: bitsliced GF(2), 32 elements per word
-        from block_lanczos_tpu.models.lanczos_gf2 import BlockLanczosGF2
         print("  - GF(2) bitsliced path (p = 2, n % 32 == 0)",
               file=sys.stderr)
-        solver = BlockLanczosGF2(M, n=args.n, right=right,
-                                 check_invariants=not args.no_checks,
-                                 sync_every=args.sync_every)
+        if args.single:
+            from block_lanczos_tpu.models.lanczos_gf2 import BlockLanczosGF2
+            solver = BlockLanczosGF2(M, n=args.n, right=right,
+                                     check_invariants=not args.no_checks,
+                                     sync_every=args.sync_every)
+        else:
+            from block_lanczos_tpu.parallel import make_mesh
+            from block_lanczos_tpu.parallel.distributed_gf2 import \
+                ShardedBlockLanczosGF2
+            from block_lanczos_tpu.parallel.mesh import make_mesh_grid
+            mesh = (make_mesh_grid(*args.grid) if args.grid
+                    else make_mesh(args.devices))
+            solver = ShardedBlockLanczosGF2(
+                M, n=args.n, right=right, mesh=mesh,
+                check_invariants=not args.no_checks,
+                sync_every=args.sync_every)
     elif args.single:
         from block_lanczos_tpu.models.lanczos import BlockLanczos
         solver = BlockLanczos(M, n=args.n, right=right,

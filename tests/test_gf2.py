@@ -133,3 +133,34 @@ def test_gf2_requires_n_multiple_of_32():
                        (x % 2).astype(np.uint32), 2)
     with pytest.raises(AssertionError):
         BlockLanczosGF2(M, n=4)
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_gf2_sharded_bit_exact(ndev):
+    from block_lanczos_tpu.parallel.distributed_gf2 import \
+        ShardedBlockLanczosGF2
+    from block_lanczos_tpu.parallel.mesh import make_mesh
+
+    i, j, x = random_sparse(192, 128, 5, seed=11)
+    M = mmio.COOMatrix(192, 128, len(x), i.astype(np.int32),
+                       j.astype(np.int32), (x % 2).astype(np.uint32), 2)
+    ref = BlockLanczosGF2(M, n=32, check_invariants=False).solve()
+    got = ShardedBlockLanczosGF2(
+        M, n=32, mesh=make_mesh(ndev), check_invariants=False).solve()
+    assert got.iterations == ref.iterations
+    np.testing.assert_array_equal(got.kernel, ref.kernel)
+
+
+def test_gf2_sharded_2d_grid():
+    from block_lanczos_tpu.parallel.distributed_gf2 import \
+        ShardedBlockLanczosGF2
+    from block_lanczos_tpu.parallel.mesh import make_mesh_grid
+
+    i, j, x = random_sparse(192, 128, 5, seed=12)
+    M = mmio.COOMatrix(192, 128, len(x), i.astype(np.int32),
+                       j.astype(np.int32), (x % 2).astype(np.uint32), 2)
+    ref = BlockLanczosGF2(M, n=32, check_invariants=False).solve()
+    got = ShardedBlockLanczosGF2(
+        M, n=32, mesh=make_mesh_grid(2, 4), check_invariants=True).solve()
+    assert got.iterations == ref.iterations
+    np.testing.assert_array_equal(got.kernel, ref.kernel)
