@@ -64,9 +64,27 @@ def bench_ours(M):
         k_done = int(rest[-1])
         return (time.perf_counter() - t0) / max(k_done, 1)
 
+    def per_iter_gf2(n_blk):
+        import numpy as np
+
+        from block_lanczos_tpu.models.lanczos_gf2 import BlockLanczosGF2
+        from block_lanczos_tpu.utils.mmio import COOMatrix
+        M2 = COOMatrix(M.nrows, M.ncols, M.nnz, M.i, M.j,
+                       (M.x % 2).astype(np.uint32), 2)
+        solver = BlockLanczosGF2(M2, n=n_blk, check_invariants=False)
+        v = solver.initial_block()
+        p_blk = jnp.zeros_like(v)
+        v, p_blk, *rest = solver._multi_step(v, p_blk, WARMUP_ITERS)
+        np.asarray(v)
+        t0 = time.perf_counter()
+        v, p_blk, *rest = solver._multi_step(v, p_blk, BENCH_ITERS)
+        np.asarray(v)
+        return (time.perf_counter() - t0) / max(int(rest[-1]), 1)
+
     # headline at the reference's benchmark config (n=4), plus the n=32
-    # production config (BASELINE.json config 3) for time-to-solution
-    return per_iter(N_BLOCK), per_iter(32)
+    # production config (BASELINE.json config 3) and the bitsliced GF(2)
+    # factorization config for time-to-solution
+    return per_iter(N_BLOCK), per_iter(32), per_iter_gf2(128)
 
 
 def bench_reference_seq(mtx_path):
@@ -113,7 +131,7 @@ def main():
     from block_lanczos_tpu.utils.mmio import load_mtx
     M = load_mtx(mtx, PRIME)
 
-    ours_per_iter, ours_n32 = bench_ours(M)
+    ours_per_iter, ours_n32, ours_gf2_128 = bench_ours(M)
     nnz_per_s = 2 * M.nnz / ours_per_iter  # two SpMV passes per iteration
 
     ref_per_iter = bench_reference_seq(mtx)
@@ -136,6 +154,8 @@ def main():
             "n32_s_per_iteration": round(ours_n32, 6),
             "n32_est_solve_speedup_vs_n4":
                 round(ours_per_iter * 32 / (ours_n32 * N_BLOCK), 2),
+            # bitsliced GF(2) (p=2 factorization config), n=128
+            "gf2_n128_s_per_iteration": round(ours_gf2_128, 6),
         },
     }
     print(json.dumps(result))
