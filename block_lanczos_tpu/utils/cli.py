@@ -92,7 +92,11 @@ def main(argv=None) -> int:
         return 1
     right = args.right and not args.left
 
-    M = mmio.load_mtx(args.matrix, args.prime, verbose=True)
+    try:
+        M = mmio.load_mtx(args.matrix, args.prime, verbose=True)
+    except (OSError, ValueError) as e:
+        print(f"cannot load matrix {args.matrix}: {e}", file=sys.stderr)
+        return 1
     print(f"  - {M.nrows} x {M.ncols} with {M.nnz} nz", file=sys.stderr)
 
     if wide:

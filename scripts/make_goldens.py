@@ -34,6 +34,8 @@ CONFIGS = [
     ("left_p2_n4", 90, 60, 4, 11, 2, 4, False),
     ("right_p65537_n4", 60, 90, 5, 3, 65537, 4, True),
     ("right_pbig_n2", 50, 75, 5, 5, 1073741789, 2, True),
+    # exercised by BOTH the generic p=2 path and the bitsliced GF(2) path
+    ("left_p2_n32", 200, 120, 5, 13, 2, 32, False),
 ]
 
 

@@ -164,3 +164,15 @@ def test_gf2_sharded_2d_grid():
         M, n=32, mesh=make_mesh_grid(2, 4), check_invariants=True).solve()
     assert got.iterations == ref.iterations
     np.testing.assert_array_equal(got.kernel, ref.kernel)
+
+
+def test_gf2_golden_parity_vs_reference_binary():
+    """Bitsliced solver reproduces the C reference's p=2 n=32 output."""
+    import os
+    golden = os.path.join(os.path.dirname(__file__), "golden")
+    M = mmio.load_mtx(os.path.join(golden, "left_p2_n32.mtx"), 2)
+    res = BlockLanczosGF2(M, n=32, check_invariants=True).solve()
+    assert res.v_nonzero and res.product_zero
+    _, _, ref = mmio.read_array_mtx(
+        os.path.join(golden, "left_p2_n32.kernel.mtx"))
+    np.testing.assert_array_equal(res.kernel, ref.astype(np.uint32))

@@ -82,3 +82,34 @@ def test_balanced_grid():
     assert balanced_grid(8) == (4, 2)
     assert balanced_grid(16) == (4, 4)
     assert balanced_grid(7) == (7, 1)
+
+
+def test_sharded_checkpoint_resume(tmp_path):
+    """Checkpoint a sharded solve mid-way, resume in a FRESH sharded solver
+    on a different mesh shape; kernel must equal the uninterrupted run."""
+    import os
+
+    from block_lanczos_tpu.utils import checkpoint as ckpt
+
+    prime, n = 65537, 4
+    M = mmio.load_mtx(os.path.join(GOLDEN, "left_p65537_n4.mtx"), prime)
+    full = ShardedBlockLanczos(M, n=n, mesh=make_mesh(4)).solve()
+
+    solver_b = ShardedBlockLanczos(M, n=n, mesh=make_mesh(4), sync_every=1)
+    saved = {}
+
+    def save_at_5(slv, iteration, v, p_blk, start):
+        if iteration == 5:
+            saved["state"] = {"v": np.asarray(v), "p": np.asarray(p_blk),
+                              "iteration": iteration}
+
+    solver_b.solve(stop_after=7, on_iteration=save_at_5)
+    assert "state" in saved
+    d = str(tmp_path / "ck")
+    st = saved["state"]
+    ckpt.save_checkpoint(d, st["v"], st["p"], st["iteration"], elapsed=0.0)
+    # resume on a DIFFERENT mesh factorization
+    resumed = ShardedBlockLanczos(M, n=n, mesh=make_mesh(2)).solve(
+        resume_state=ckpt.load_checkpoint(d))
+    assert resumed.iterations == full.iterations
+    np.testing.assert_array_equal(resumed.kernel, full.kernel)
