@@ -198,6 +198,50 @@ def final_check(v, vtM, n_rows: int, m_rows: int, verbose: bool = True):
 # Solver driver
 # ---------------------------------------------------------------------------
 
+def blocked_solve_loop(multi_step, v, p_blk, start_iter: int,
+                       stop_after: int, sync_every: int | None,
+                       on_iteration=None, inv_fail=None, solver=None):
+    """The shared driver loop: device-side iteration blocks + host sync.
+
+    multi_step(v, p_blk, k) must return (v, p, tmp, *diag, stop, inv_ok,
+    k_done); up to `sync_every` iterations run per dispatch (adaptive
+    doubling 1 -> 1024 targeting ~0.25 s blocks when None).  On a failed
+    invariant, inv_fail(diag, iteration) is called to raise with context.
+    Returns (v, p_blk, tmp, n_iterations, stopped_by_limit, start_time).
+    """
+    start = time.time()
+    n_iterations = start_iter
+    tmp = None
+    stopped_by_limit = False
+    block = sync_every or 1
+    _ADAPT_CAP, _ADAPT_TARGET_S = 1024, 0.25
+    while True:
+        remaining = (stop_after - n_iterations if stop_after > 0 else block)
+        if remaining <= 0:
+            stopped_by_limit = True
+            break
+        k_ask = min(block, remaining)
+        t_blk = time.time()
+        v, p_blk, tmp, *diag, stop, inv_ok, k_done = \
+            multi_step(v, p_blk, k_ask)
+        k_done = int(k_done)
+        stop = bool(stop)
+        if inv_fail is not None and not bool(inv_ok):
+            inv_fail(diag, n_iterations + k_done)
+            raise AssertionError("device invariant check failed")
+        # the stopping probe iteration is not counted (the reference breaks
+        # before incrementing, sequential/lanczos_modp.c:649-656)
+        n_iterations += k_done - (1 if stop else 0)
+        if on_iteration is not None:
+            on_iteration(solver, n_iterations, v, p_blk, start)
+        if stop:
+            break
+        if sync_every is None and block < _ADAPT_CAP and \
+                time.time() - t_blk < _ADAPT_TARGET_S:
+            block *= 2
+    return v, p_blk, tmp, n_iterations, stopped_by_limit, start
+
+
 @dataclasses.dataclass
 class SolveResult:
     kernel: np.ndarray          # (N_eff, n) uint32 — the block of vectors
@@ -270,43 +314,17 @@ class BlockLanczos:
             print(f"  - Expecting {self.expected_iterations} iterations")
             print("  - Main loop")
 
-        start = time.time()
-        n_iterations = start_iter
-        tmp = Av = None
-        stopped_by_limit = False
-        # iterations per host sync: fixed, or adaptive doubling (1 -> 1024)
-        # targeting ~0.25 s blocks so verbosity/checkpoint cadence survives
-        block = self.sync_every or 1
-        _ADAPT_CAP, _ADAPT_TARGET_S = 1024, 0.25
-        while True:
-            remaining = (stop_after - n_iterations if stop_after > 0
-                         else block)
-            if remaining <= 0:
-                stopped_by_limit = True
-                break
-            k_ask = min(block, remaining)
-            t_blk = time.time()
-            v, p_blk, tmp, Av, vtAv, vtAAv, winv, d, stop, inv_ok, k_done = \
-                self._multi_step(v, p_blk, k_ask)
-            k_done = int(k_done)
-            stop = bool(stop)
-            if self.check_invariants and not bool(inv_ok):
-                n_iterations += k_done
-                # reproduce the precise failing assertion on host
-                check_invariants(f.p, vtAv, vtAAv, winv, d)
-                raise AssertionError("device invariant check failed")
-            # the stopping probe iteration is not counted (reference breaks
-            # before incrementing, sequential/lanczos_modp.c:649-656)
-            n_iterations += k_done - (1 if stop else 0)
-            if on_iteration is not None:
-                on_iteration(self, n_iterations, v, p_blk, start)
-            if stop:
-                # v already holds the pre-update (converged) block
-                break
-            if self.sync_every is None and block < _ADAPT_CAP and \
-                    time.time() - t_blk < _ADAPT_TARGET_S:
-                block *= 2
+        def inv_fail(diag, iteration):
+            # reproduce the precise failing assertion on host
+            _Av, vtAv, vtAAv, winv, d = diag
+            check_invariants(f.p, vtAv, vtAAv, winv, d)
 
+        v, p_blk, tmp, n_iterations, stopped_by_limit, start = \
+            blocked_solve_loop(
+                self._multi_step, v, p_blk, start_iter, stop_after,
+                self.sync_every, on_iteration=on_iteration,
+                inv_fail=inv_fail if self.check_invariants else None,
+                solver=self)
         elapsed = time.time() - start
         v_host = np.asarray(v)
         v_nonzero = product_zero = None

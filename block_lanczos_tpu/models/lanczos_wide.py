@@ -171,36 +171,18 @@ class BlockLanczosWide:
             print(f"  - Expecting {self.expected_iterations} iterations")
             print("  - Main loop")
 
-        start = time.time()
-        tmp = None
-        stopped_by_limit = False
-        block = self.sync_every or 1
-        _ADAPT_CAP, _ADAPT_TARGET_S = 1024, 0.25
-        while True:
-            remaining = (stop_after - n_iterations if stop_after > 0
-                         else block)
-            if remaining <= 0:
-                stopped_by_limit = True
-                break
-            k_ask = min(block, remaining)
-            t_blk = time.time()
-            v, p_blk, tmp, Av, vtAv, vtAAv, winv, d, stop, inv_ok, k_done = \
-                self._multi_step(v, p_blk, k_ask)
-            k_done = int(k_done)
-            stop = bool(stop)
-            if self.check_invariants and not bool(inv_ok):
-                raise AssertionError(
-                    "device invariant check failed (wide field) at iteration "
-                    f"~{n_iterations + k_done}")
-            n_iterations += k_done - (1 if stop else 0)
-            if on_iteration is not None:
-                on_iteration(self, n_iterations, v, p_blk, start)
-            if stop:
-                break
-            if self.sync_every is None and block < _ADAPT_CAP and \
-                    time.time() - t_blk < _ADAPT_TARGET_S:
-                block *= 2
+        def inv_fail(diag, iteration):
+            raise AssertionError(
+                f"device invariant check failed (wide field) at iteration "
+                f"~{iteration}")
 
+        from block_lanczos_tpu.models.lanczos import blocked_solve_loop
+        v, p_blk, tmp, n_iterations, stopped_by_limit, start = \
+            blocked_solve_loop(
+                self._multi_step, v, p_blk, n_iterations, stop_after,
+                self.sync_every, on_iteration=on_iteration,
+                inv_fail=inv_fail if self.check_invariants else None,
+                solver=self)
         elapsed = time.time() - start
         v_host64 = np.asarray(gw.np_unpair(np.asarray(v))).astype(np.uint64)
         v_nonzero = product_zero = None

@@ -188,36 +188,18 @@ class ShardedBlockLanczos:
             print("  - Main loop")
 
         args = self._step_args()
-        start = time.time()
-        tmp = None
-        stopped_by_limit = False
-        block = self.sync_every or 1
-        _ADAPT_CAP, _ADAPT_TARGET_S = 1024, 0.25
-        while True:
-            remaining = (stop_after - n_iterations if stop_after > 0
-                         else block)
-            if remaining <= 0:
-                stopped_by_limit = True
-                break
-            k_ask = min(block, remaining)
-            t_blk = time.time()
-            v, p_blk, tmp, vtAv, vtAAv, winv, d, stop, inv_ok, k_done = \
-                self._multi_step(*args, v, p_blk, jnp.uint32(k_ask))
-            k_done = int(k_done)
-            stop = bool(stop)
-            if self.check_invariants and not bool(inv_ok):
-                n_iterations += k_done
-                single.check_invariants(self.f.p, vtAv, vtAAv, winv, d)
-                raise AssertionError("device invariant check failed")
-            n_iterations += k_done - (1 if stop else 0)
-            if on_iteration is not None:
-                on_iteration(self, n_iterations, v, p_blk, start)
-            if stop:
-                break
-            if self.sync_every is None and block < _ADAPT_CAP and \
-                    time.time() - t_blk < _ADAPT_TARGET_S:
-                block *= 2
 
+        def inv_fail(diag, iteration):
+            vtAv, vtAAv, winv, d = diag
+            single.check_invariants(self.f.p, vtAv, vtAAv, winv, d)
+
+        v, p_blk, tmp, n_iterations, stopped_by_limit, start = \
+            single.blocked_solve_loop(
+                lambda v, p, k: self._multi_step(*args, v, p, jnp.uint32(k)),
+                v, p_blk, n_iterations, stop_after, self.sync_every,
+                on_iteration=on_iteration,
+                inv_fail=inv_fail if self.check_invariants else None,
+                solver=self)
         elapsed = time.time() - start
         v_host = np.asarray(jax.device_get(v))
         v_nonzero = product_zero = None
