@@ -24,10 +24,20 @@ import numpy as np
 
 
 def cmd_generate(args) -> int:
-    from block_lanczos_tpu.utils.gen import write_random_mtx
-    nnz = write_random_mtx(args.out, args.nrows, args.ncols,
-                           args.row_density, seed=args.seed,
-                           max_value=args.max_value)
+    from block_lanczos_tpu.utils import mmio
+    from block_lanczos_tpu.utils.gen import (random_sparse_skewed,
+                                             write_random_mtx)
+    if args.skew:
+        i, j, x = random_sparse_skewed(args.nrows, args.ncols,
+                                       args.row_density, seed=args.seed,
+                                       alpha=args.skew,
+                                       max_value=args.max_value)
+        mmio.write_coo_mtx(args.out, args.nrows, args.ncols, i, j, x)
+        nnz = len(x)
+    else:
+        nnz = write_random_mtx(args.out, args.nrows, args.ncols,
+                               args.row_density, seed=args.seed,
+                               max_value=args.max_value)
     print(f"wrote {args.out}: {args.nrows} x {args.ncols}, {nnz} nnz")
     return 0
 
@@ -71,6 +81,9 @@ def main(argv=None) -> int:
     g.add_argument("--row-density", type=int, default=10)
     g.add_argument("--seed", type=int, default=0)
     g.add_argument("--max-value", type=int, default=1 << 20)
+    g.add_argument("--skew", type=float, default=None, metavar="ALPHA",
+                   help="power-law column popularity exponent "
+                        "(factorization-matrix shape)")
     g.set_defaults(fn=cmd_generate)
 
     i = sub.add_parser("info", help="print matrix stats")

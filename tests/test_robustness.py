@@ -86,3 +86,35 @@ def test_mmio_rejects_wrong_types(tmp_path):
         "%%MatrixMarket matrix coordinate integer general\n2 2 3\n1 1 5\n")
     with pytest.raises(ValueError):
         mmio.load_mtx(str(trunc), 65537)
+
+
+def test_skewed_matrix_spill_path():
+    """Power-law column weights (factorization-matrix shape): the dense
+    columns overflow the ELL slab into the spill path; results stay exact."""
+    from block_lanczos_tpu.ops import spmm
+    from block_lanczos_tpu.ops.gfp import GFp
+    from block_lanczos_tpu.utils.gen import random_sparse_skewed
+
+    p = 1073741789
+    i, j, x = random_sparse_skewed(400, 300, 8, seed=1, alpha=1.3)
+    M = coo(400, 300, i, j, x, p)
+    f = GFp.make(p)
+    sp = spmm.SpMatrix.from_coo(f, M)
+    assert sp.bwd.spill.nnz > 0  # the skew actually exercised the spill
+    res = BlockLanczos(M, n=4).solve()
+    assert res.v_nonzero and res.product_zero
+
+
+def test_skewed_matrix_sharded_bit_exact():
+    from block_lanczos_tpu.parallel import make_mesh
+    from block_lanczos_tpu.parallel.distributed import ShardedBlockLanczos
+    from block_lanczos_tpu.utils.gen import random_sparse_skewed
+
+    p = 65537
+    i, j, x = random_sparse_skewed(240, 160, 6, seed=2, alpha=1.4)
+    M = coo(240, 160, i, j, x, p)
+    ref = BlockLanczos(M, n=4, check_invariants=False).solve()
+    got = ShardedBlockLanczos(M, n=4, mesh=make_mesh(8),
+                              check_invariants=False).solve()
+    assert got.iterations == ref.iterations
+    np.testing.assert_array_equal(got.kernel, ref.kernel)
