@@ -81,10 +81,30 @@ def bench_ours(M):
         np.asarray(v)
         return (time.perf_counter() - t0) / max(int(rest[-1]), 1)
 
+    def per_iter_wide(n_blk):
+        import numpy as np
+
+        from block_lanczos_tpu.models.lanczos_wide import BlockLanczosWide
+        from block_lanczos_tpu.utils.mmio import COOMatrix
+        p61 = (1 << 61) - 1
+        Mw = COOMatrix(M.nrows, M.ncols, M.nnz, M.i, M.j,
+                       M.x.astype(np.uint64), p61)
+        solver = BlockLanczosWide(Mw, n=n_blk, check_invariants=False)
+        v = solver.initial_block()
+        p_blk = jnp.zeros_like(v)
+        v, p_blk, *rest = solver._multi_step(v, p_blk, WARMUP_ITERS)
+        np.asarray(v)
+        t0 = time.perf_counter()
+        v, p_blk, *rest = solver._multi_step(v, p_blk, BENCH_ITERS // 2)
+        np.asarray(v)
+        return (time.perf_counter() - t0) / max(int(rest[-1]), 1)
+
     # headline at the reference's benchmark config (n=4), plus the n=32
-    # production config (BASELINE.json config 3) and the bitsliced GF(2)
-    # factorization config for time-to-solution
-    return per_iter(N_BLOCK), per_iter(32), per_iter_gf2(128)
+    # production config (BASELINE.json config 3), the bitsliced GF(2)
+    # factorization config, and the wide-field (p=2^61-1) config the
+    # reference cannot run at all
+    return (per_iter(N_BLOCK), per_iter(32), per_iter_gf2(128),
+            per_iter_wide(N_BLOCK))
 
 
 def bench_reference_seq(mtx_path):
@@ -131,7 +151,7 @@ def main():
     from block_lanczos_tpu.utils.mmio import load_mtx
     M = load_mtx(mtx, PRIME)
 
-    ours_per_iter, ours_n32, ours_gf2_128 = bench_ours(M)
+    ours_per_iter, ours_n32, ours_gf2_128, ours_wide = bench_ours(M)
     nnz_per_s = 2 * M.nnz / ours_per_iter  # two SpMV passes per iteration
 
     ref_per_iter = bench_reference_seq(mtx)
@@ -156,6 +176,8 @@ def main():
                 round(ours_per_iter * 32 / (ours_n32 * N_BLOCK), 2),
             # bitsliced GF(2) (p=2 factorization config), n=128
             "gf2_n128_s_per_iteration": round(ours_gf2_128, 6),
+            # wide field p=2^61-1, n=4 (beyond the reference's 2^30-35 cap)
+            "wide_p61_s_per_iteration": round(ours_wide, 6),
         },
     }
     print(json.dumps(result))
