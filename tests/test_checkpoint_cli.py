@@ -111,3 +111,32 @@ def test_verbosity_engine(capsys):
     out = capsys.readouterr().out
     assert "Expected duration" in out and "iteration 1 / 100" in out
     assert format_duration(90061) == "1 j 1 h 1 min 1 s"
+
+
+def test_cli_gf2_roundtrip(tmp_path):
+    """p=2 routes to the bitsliced path; output validates with the checker."""
+    from block_lanczos_tpu.utils import checker
+    from block_lanczos_tpu.utils.gen import write_random_mtx
+
+    mtx = str(tmp_path / "m2.mtx")
+    out = str(tmp_path / "k2.mtx")
+    write_random_mtx(mtx, 200, 120, 5, seed=13)  # the golden p2_n32 config
+    rc = cli.main(["--matrix", mtx, "--prime", "2", "--n", "32",
+                   "--single", "--output-file", out])
+    assert rc == 0
+    assert checker.check_kernel_file(mtx, out, 2) is True
+
+
+def test_cli_wide_roundtrip(tmp_path):
+    """wide prime routes to the pair-field path; checker-validated."""
+    from block_lanczos_tpu.utils import checker
+    from block_lanczos_tpu.utils.gen import write_random_mtx
+
+    p = 36028797018963913  # 55-bit prime
+    mtx = str(tmp_path / "mw.mtx")
+    out = str(tmp_path / "kw.mtx")
+    write_random_mtx(mtx, 96, 64, 5, seed=7)
+    rc = cli.main(["--matrix", mtx, "--prime", str(p), "--n", "4",
+                   "--single", "--output-file", out])
+    assert rc == 0
+    assert checker.check_kernel_file(mtx, out, p) is True
