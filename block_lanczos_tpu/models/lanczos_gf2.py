@@ -97,9 +97,8 @@ def build_gf2_arrays(out_idx, in_idx, out_dim: int,
     target = max(s_nnz, spill_pad_to or 0, 1)
     pad = target - s_nnz
     if pad:
-        # padded spill entries repeat index 0 an even number of times per
-        # fake segment? simpler: they sit past rowptr[out_dim] and are
-        # sliced away by the prefix-difference, contributing nothing.
+        # padding lives past rowptr[out_dim] (= s_nnz), so the prefix
+        # differences never select it; values are irrelevant
         s_out = np.concatenate([s_out, np.full(pad, out_dim - 1, np.int32)])
         s_in = np.concatenate([s_in, np.zeros(pad, np.int32)])
     return cols2d, valid, (s_out, s_in, s_nnz, rowptr), nnz, int(ell)
@@ -255,8 +254,10 @@ class BlockLanczosGF2:
     def __init__(self, M: COOMatrix, n: int = 32, right: bool = False,
                  pad_multiple: int = 8, check_invariants: bool = True,
                  seed=None, sync_every: int | None = None):
-        assert int(M.prime) == 2, "BlockLanczosGF2 requires p == 2"
-        assert n % WORD == 0, "bitsliced GF(2) requires n % 32 == 0"
+        if int(M.prime) != 2:
+            raise ValueError("BlockLanczosGF2 requires p == 2")
+        if n % WORD != 0:
+            raise ValueError("bitsliced GF(2) requires n % 32 == 0")
         self.n = int(n)
         self.W = words(self.n)
         self.right = bool(right)

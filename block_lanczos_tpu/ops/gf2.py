@@ -31,7 +31,8 @@ WORD = 32
 
 
 def words(n: int) -> int:
-    assert n % WORD == 0, "bitsliced GF(2) requires n % 32 == 0"
+    if n % WORD != 0:
+        raise ValueError("bitsliced GF(2) requires n % 32 == 0")
     return n // WORD
 
 

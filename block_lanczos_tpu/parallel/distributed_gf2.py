@@ -2,9 +2,8 @@
 
 Mirrors parallel/distributed.py with the bit-packed representation of
 ops/gf2.py.  The one structural difference from the mod-p meshes: the
-cross-device reduction is XOR, which has no native psum, so partials ride
-`all_gather` + a local XOR fold (exact, order-independent; word counts per
-reduction are tiny — (band, n/32) words).
+cross-device reduction is XOR, which has no native collective — see pxor
+below for the bit-plane psum that provides it exactly.
 """
 
 from __future__ import annotations
@@ -208,7 +207,8 @@ class ShardedBlockLanczosGF2:
                  pad_multiple: int = 8, check_invariants: bool = True,
                  sync_every: int | None = None):
         from block_lanczos_tpu.parallel.mesh import make_mesh
-        assert int(M.prime) == 2 and n % WORD == 0
+        if int(M.prime) != 2 or n % WORD != 0:
+            raise ValueError("GF(2) sharded solver requires p == 2 and n % 32 == 0")
         self.mesh = mesh if mesh is not None else make_mesh()
         self.n = int(n)
         self.W = words(self.n)

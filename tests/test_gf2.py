@@ -131,7 +131,7 @@ def test_gf2_requires_n_multiple_of_32():
     i, j, x = random_sparse(16, 8, 2, seed=10)
     M = mmio.COOMatrix(16, 8, len(x), i.astype(np.int32), j.astype(np.int32),
                        (x % 2).astype(np.uint32), 2)
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         BlockLanczosGF2(M, n=4)
 
 
