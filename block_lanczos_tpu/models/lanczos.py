@@ -103,9 +103,7 @@ def iteration_step(f: GFp, mp_rows: int, np_rows: int, check: bool,
     return v_out, p_out, tmp, Av, vtAv, vtAAv, winv, d, stop, inv_ok
 
 
-def multi_iteration_step(f: GFp, mp_rows: int, np_rows: int, check: bool,
-                         first_op: SparseOp, second_op: SparseOp,
-                         v, p_blk, max_steps):
+def run_multi_step(step, zeros, v, p_blk, max_steps):
     """Up to `max_steps` Lanczos iterations in ONE device program.
 
     A host sync per iteration costs a full host<->device round trip (tens of
@@ -115,16 +113,16 @@ def multi_iteration_step(f: GFp, mp_rows: int, np_rows: int, check: bool,
     a traced scalar: the driver can clamp the last block for --stop-after
     without recompiling.
 
-    Returns (v, p, tmp, Av, vtAv, vtAAv, winv, d, stop, inv_ok, k_done)
+    step(v, p_blk) -> (v, p, tmp, *diag, stop, inv_ok); `zeros` supplies the
+    zero-initialized (tmp, *diag) carry tail (sharded callers pcast these to
+    the right varying-manual-axes types).  Returns (*step_out, k_done),
     where k_done INCLUDES the stopping probe iteration when stop is True
     (the reference does not count it, sequential/lanczos_modp.c:649-656 —
-    the driver subtracts it).
+    blocked_solve_loop subtracts it).
+
+    Shared by all six solvers (3 fields x {single device, mesh}).
     """
-    n = v.shape[1]
-    zed = jnp.zeros((n, n), u32)
-    init = (v, p_blk, jnp.zeros((mp_rows, n), u32),
-            jnp.zeros((np_rows, n), u32), zed, zed, zed,
-            jnp.zeros((n,), u32), jnp.bool_(False), jnp.bool_(True),
+    init = (v, p_blk, *zeros, jnp.bool_(False), jnp.bool_(True),
             jnp.uint32(0))
 
     def cond(c):
@@ -132,12 +130,24 @@ def multi_iteration_step(f: GFp, mp_rows: int, np_rows: int, check: bool,
         return (k < max_steps) & jnp.logical_not(stop) & inv_ok
 
     def body(c):
-        v, p_blk = c[0], c[1]
-        out = iteration_step(f, mp_rows, np_rows, check,
-                             first_op, second_op, v, p_blk)
+        out = step(c[0], c[1])
         return (*out, c[-1] + jnp.uint32(1))
 
     return jax.lax.while_loop(cond, body, init)
+
+
+def multi_iteration_step(f: GFp, mp_rows: int, np_rows: int, check: bool,
+                         first_op: SparseOp, second_op: SparseOp,
+                         v, p_blk, max_steps):
+    """Blocked narrow-field iteration; see run_multi_step."""
+    n = v.shape[1]
+    zed = jnp.zeros((n, n), u32)
+    zeros = (jnp.zeros((mp_rows, n), u32), jnp.zeros((np_rows, n), u32),
+             zed, zed, zed, jnp.zeros((n,), u32))
+    return run_multi_step(
+        lambda v, p: iteration_step(f, mp_rows, np_rows, check,
+                                    first_op, second_op, v, p),
+        zeros, v, p_blk, max_steps)
 
 
 def check_invariants_device(f: GFp, vtAv, vtAAv, winv, d):

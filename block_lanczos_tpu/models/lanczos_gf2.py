@@ -225,23 +225,15 @@ def iteration_step(first_op: GF2Op, second_op: GF2Op, n: int,
 def multi_iteration_step(first_op: GF2Op, second_op: GF2Op, n: int,
                          mp_rows: int, np_rows: int, check: bool,
                          v, p_blk, max_steps):
+    from block_lanczos_tpu.models.lanczos import run_multi_step
     W = words(n)
     zed = jnp.zeros((n, W), u32)
-    init = (v, p_blk, jnp.zeros((mp_rows, W), u32),
-            jnp.zeros((np_rows, W), u32), zed, zed, zed,
-            jnp.zeros((n,), u32), jnp.bool_(False), jnp.bool_(True),
-            jnp.uint32(0))
-
-    def cond(c):
-        stop, inv_ok, k = c[-3], c[-2], c[-1]
-        return (k < max_steps) & jnp.logical_not(stop) & inv_ok
-
-    def body(c):
-        out = iteration_step(first_op, second_op, n, mp_rows, np_rows,
-                             check, c[0], c[1])
-        return (*out, c[-1] + jnp.uint32(1))
-
-    return jax.lax.while_loop(cond, body, init)
+    zeros = (jnp.zeros((mp_rows, W), u32), jnp.zeros((np_rows, W), u32),
+             zed, zed, zed, jnp.zeros((n,), u32))
+    return run_multi_step(
+        lambda v, p: iteration_step(first_op, second_op, n, mp_rows,
+                                    np_rows, check, v, p),
+        zeros, v, p_blk, max_steps)
 
 
 class BlockLanczosGF2:

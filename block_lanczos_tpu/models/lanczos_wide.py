@@ -79,23 +79,16 @@ def iteration_step(f: GFpWide, mp_rows: int, np_rows: int, check: bool,
 
 def multi_iteration_step(f: GFpWide, mp_rows: int, np_rows: int, check: bool,
                          first_op, second_op, v, p_blk, max_steps):
+    from block_lanczos_tpu.models.lanczos import run_multi_step
     n = v.shape[1]
     zed = jnp.zeros((n, n, 2), u32)
-    init = (v, p_blk, jnp.zeros((mp_rows, n, 2), u32),
-            jnp.zeros((np_rows, n, 2), u32), zed, zed, zed,
-            jnp.zeros((n,), u32), jnp.bool_(False), jnp.bool_(True),
-            jnp.uint32(0))
-
-    def cond(c):
-        stop, inv_ok, k = c[-3], c[-2], c[-1]
-        return (k < max_steps) & jnp.logical_not(stop) & inv_ok
-
-    def body(c):
-        out = iteration_step(f, mp_rows, np_rows, check,
-                             first_op, second_op, c[0], c[1])
-        return (*out, c[-1] + jnp.uint32(1))
-
-    return jax.lax.while_loop(cond, body, init)
+    zeros = (jnp.zeros((mp_rows, n, 2), u32),
+             jnp.zeros((np_rows, n, 2), u32), zed, zed, zed,
+             jnp.zeros((n,), u32))
+    return run_multi_step(
+        lambda v, p: iteration_step(f, mp_rows, np_rows, check,
+                                    first_op, second_op, v, p),
+        zeros, v, p_blk, max_steps)
 
 
 def final_check(v_pairs, vtM_pairs, n_rows: int, m_rows: int,

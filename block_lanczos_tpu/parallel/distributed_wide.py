@@ -175,24 +175,16 @@ def _local_step(f: GFpWide, ops: WideShardedOps, check: bool,
 def _local_multi_step(f: GFpWide, ops: WideShardedOps, check: bool,
                       first_leaves, second_leaves, v_local, p_local,
                       max_steps):
+    from block_lanczos_tpu.models.lanczos import run_multi_step
     n = v_local.shape[1]
     zed = jnp.zeros((n, n, 2), u32)
     tmp0 = jax.lax.pcast(jnp.zeros((ops.mband, n, 2), u32), (COLS_AXIS,),
                          to="varying")
-    init = (v_local, p_local, tmp0, zed, zed, zed,
-            jnp.zeros((n,), u32), jnp.bool_(False), jnp.bool_(True),
-            jnp.uint32(0))
-
-    def cond(c):
-        stop, inv_ok, k = c[-3], c[-2], c[-1]
-        return (k < max_steps) & jnp.logical_not(stop) & inv_ok
-
-    def body(c):
-        out = _local_step(f, ops, check, first_leaves, second_leaves,
-                          c[0], c[1])
-        return (*out, c[-1] + jnp.uint32(1))
-
-    return jax.lax.while_loop(cond, body, init)
+    zeros = (tmp0, zed, zed, zed, jnp.zeros((n,), u32))
+    return run_multi_step(
+        lambda v, p: _local_step(f, ops, check, first_leaves,
+                                 second_leaves, v, p),
+        zeros, v_local, p_local, max_steps)
 
 
 class ShardedBlockLanczosWide:

@@ -135,6 +135,7 @@ def test_gf2_requires_n_multiple_of_32():
         BlockLanczosGF2(M, n=4)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("ndev", [2, 8])
 def test_gf2_sharded_bit_exact(ndev):
     from block_lanczos_tpu.parallel.distributed_gf2 import \
@@ -151,6 +152,7 @@ def test_gf2_sharded_bit_exact(ndev):
     np.testing.assert_array_equal(got.kernel, ref.kernel)
 
 
+@pytest.mark.slow
 def test_gf2_sharded_2d_grid():
     from block_lanczos_tpu.parallel.distributed_gf2 import \
         ShardedBlockLanczosGF2

@@ -84,6 +84,7 @@ def test_balanced_grid():
     assert balanced_grid(7) == (7, 1)
 
 
+@pytest.mark.slow
 def test_sharded_checkpoint_resume(tmp_path):
     """Checkpoint a sharded solve mid-way, resume in a FRESH sharded solver
     on a different mesh shape; kernel must equal the uninterrupted run."""

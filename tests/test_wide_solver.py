@@ -66,6 +66,7 @@ def test_semi_inverse_wide_device_vs_host():
         assert (gw.np_unpair(np.asarray(W)) == W_h.astype(object)).all()
 
 
+@pytest.mark.slow
 def test_wide_solver_end_to_end(tmp_path):
     p = P61
     M = make_matrix(p, 96, 64, 5, wide_vals=True)
@@ -119,6 +120,7 @@ def test_wide_load_mtx(tmp_path):
     assert list(M.x) == [5, p - 1, 7]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("ndev", [2, 8])
 def test_wide_sharded_bit_exact(ndev):
     """Sharded wide solve == single-device wide solve, bit for bit."""
@@ -136,6 +138,7 @@ def test_wide_sharded_bit_exact(ndev):
     assert got.v_nonzero and got.product_zero
 
 
+@pytest.mark.slow
 def test_wide_sharded_2d_grid():
     from block_lanczos_tpu.parallel.distributed_wide import \
         ShardedBlockLanczosWide
