@@ -45,29 +45,41 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from block_lanczos_tpu.ops.gfp import PRIME_CAP
     from block_lanczos_tpu.utils.gen import random_sparse
     from block_lanczos_tpu.utils.mmio import COOMatrix
     from block_lanczos_tpu.parallel import make_mesh
     from block_lanczos_tpu.parallel.distributed import ShardedBlockLanczos
 
     i, j, x = random_sparse(args.nrows, args.ncols, args.density, seed=42)
-    M = COOMatrix(args.nrows, args.ncols, len(x), i.astype(np.int32),
-                  j.astype(np.int32), (x % args.prime).astype(np.uint32),
-                  args.prime)
+    # field selection matches the CLI: p=2 (n%32==0) -> bitsliced GF(2);
+    # p > 2^30-35 -> wide pairs; otherwise narrow
+    if args.prime == 2 and args.n % 32 == 0:
+        from block_lanczos_tpu.parallel.distributed_gf2 import \
+            ShardedBlockLanczosGF2 as Solver
+        xv = (x % 2).astype(np.uint32)
+    elif args.prime > PRIME_CAP:
+        from block_lanczos_tpu.parallel.distributed_wide import \
+            ShardedBlockLanczosWide as Solver
+        xv = (x % args.prime).astype(np.uint64)
+    else:
+        Solver = ShardedBlockLanczos
+        xv = (x % args.prime).astype(np.uint32)
+    M = COOMatrix(args.nrows, args.ncols, len(xv), i.astype(np.int32),
+                  j.astype(np.int32), xv, args.prime)
     print(f"matrix: {M.nrows} x {M.ncols}, {M.nnz} nnz; n={args.n}, "
-          f"p={args.prime}", file=sys.stderr)
+          f"p={args.prime} [{Solver.__name__}]", file=sys.stderr)
 
     n_avail = len(jax.devices())
     sizes = [k for k in (1, 2, 4, 8, 16, 32) if k <= n_avail]
     rows = []
     base = None
     for k in sizes:
-        solver = ShardedBlockLanczos(M, n=args.n, mesh=make_mesh(k),
-                                     check_invariants=False)
+        solver = Solver(M, n=args.n, mesh=make_mesh(k),
+                        check_invariants=False)
         v = solver.initial_block()
-        p_blk = jax.device_put(
-            np.zeros((solver.np_rows, args.n), np.uint32),
-            solver._vec_sharding)
+        p_blk = jax.device_put(np.zeros_like(np.asarray(v)),
+                               solver._vec_sharding)
         sargs = solver._step_args()
         # compile+warm, then time with results MATERIALIZED (block_until_ready
         # can return with work still queued on tunneled backends)
