@@ -260,6 +260,9 @@ class SolveResult:
     product_zero: bool | None
     elapsed: float
     stopped_by_limit: bool
+    # v^T M (the last tmp), kept ONLY when the final check failed — input
+    # for utils.salvage.salvage_kernel to recover the valid combinations
+    vtM: np.ndarray | None = None
 
 
 class BlockLanczos:
@@ -338,13 +341,17 @@ class BlockLanczos:
         elapsed = time.time() - start
         v_host = np.asarray(v)
         v_nonzero = product_zero = None
+        vtM = None
         if not stopped_by_limit:
             v_nonzero, product_zero = final_check(
                 v_host, tmp, self.n_eff, self.m_eff, verbose)
+            if product_zero is False:
+                vtM = np.asarray(tmp)[:self.m_eff]
         if verbose:
             print(f"  - Terminated in {elapsed:.1f}s after "
                   f"{n_iterations} iterations")
         return SolveResult(kernel=v_host[:self.n_eff],
                            iterations=n_iterations,
                            v_nonzero=v_nonzero, product_zero=product_zero,
-                           elapsed=elapsed, stopped_by_limit=stopped_by_limit)
+                           elapsed=elapsed, stopped_by_limit=stopped_by_limit,
+                           vtM=vtM)

@@ -313,10 +313,13 @@ class BlockLanczosGF2:
         elapsed = time.time() - start
         v_bits = gf2.unpack_bits_np(np.asarray(v), self.n)
         v_nonzero = product_zero = None
+        vtM = None
         if not stopped_by_limit:
             tmp_bits = gf2.unpack_bits_np(np.asarray(tmp), self.n)
             v_nonzero = bool((v_bits[:self.n_eff] != 0).any())
             product_zero = bool((tmp_bits[:self.m_eff] == 0).all())
+            if not product_zero:
+                vtM = tmp_bits[:self.m_eff]
             if verbose:
                 print("Final check:")
                 print(f"  - {'OK:    v != 0' if v_nonzero else 'KO:    v == 0'}")
@@ -327,4 +330,5 @@ class BlockLanczosGF2:
         return SolveResult(kernel=v_bits[:self.n_eff],
                            iterations=n_iterations,
                            v_nonzero=v_nonzero, product_zero=product_zero,
-                           elapsed=elapsed, stopped_by_limit=stopped_by_limit)
+                           elapsed=elapsed, stopped_by_limit=stopped_by_limit,
+                           vtM=vtM)

@@ -194,13 +194,18 @@ class ShardedBlockLanczos:
         elapsed = time.time() - start
         v_host = np.asarray(jax.device_get(v))
         v_nonzero = product_zero = None
+        vtM = None
         if not stopped_by_limit:
+            tmp_host = np.asarray(jax.device_get(tmp))
             v_nonzero, product_zero = single.final_check(
-                v_host, jax.device_get(tmp), self.n_eff, self.m_eff, verbose)
+                v_host, tmp_host, self.n_eff, self.m_eff, verbose)
+            if product_zero is False:
+                vtM = tmp_host[:self.m_eff]
         if verbose:
             print(f"  - Terminated in {elapsed:.1f}s after "
                   f"{n_iterations} iterations")
         return SolveResult(kernel=v_host[:self.n_eff],
                            iterations=n_iterations,
                            v_nonzero=v_nonzero, product_zero=product_zero,
-                           elapsed=elapsed, stopped_by_limit=stopped_by_limit)
+                           elapsed=elapsed, stopped_by_limit=stopped_by_limit,
+                           vtM=vtM)

@@ -278,11 +278,14 @@ class ShardedBlockLanczosGF2:
         elapsed = time.time() - start
         v_bits = gf2.unpack_bits_np(np.asarray(jax.device_get(v)), self.n)
         v_nonzero = product_zero = None
+        vtM = None
         if not stopped_by_limit:
             tmp_bits = gf2.unpack_bits_np(
                 np.asarray(jax.device_get(tmp)), self.n)
             v_nonzero = bool((v_bits[:self.n_eff] != 0).any())
             product_zero = bool((tmp_bits[:self.m_eff] == 0).all())
+            if not product_zero:
+                vtM = tmp_bits[:self.m_eff]
             if verbose:
                 print("Final check:")
                 print(f"  - {'OK:    v != 0' if v_nonzero else 'KO:    v == 0'}")
@@ -293,4 +296,5 @@ class ShardedBlockLanczosGF2:
         return SolveResult(kernel=v_bits[:self.n_eff],
                            iterations=n_iterations,
                            v_nonzero=v_nonzero, product_zero=product_zero,
-                           elapsed=elapsed, stopped_by_limit=stopped_by_limit)
+                           elapsed=elapsed, stopped_by_limit=stopped_by_limit,
+                           vtM=vtM)

@@ -275,14 +275,18 @@ class ShardedBlockLanczosWide:
         v_host = gw.np_unpair(np.asarray(jax.device_get(v)))
         v_host64 = v_host.astype(np.uint64)
         v_nonzero = product_zero = None
+        vtM = None
         if not stopped_by_limit:
+            tmp_host = gw.np_unpair(np.asarray(jax.device_get(tmp)))
             v_nonzero, product_zero = lw.final_check(
-                v_host64, gw.np_unpair(np.asarray(jax.device_get(tmp))),
-                self.n_eff, self.m_eff, verbose)
+                v_host64, tmp_host, self.n_eff, self.m_eff, verbose)
+            if product_zero is False:
+                vtM = np.asarray(tmp_host[:self.m_eff], dtype=np.uint64)
         if verbose:
             print(f"  - Terminated in {elapsed:.1f}s after "
                   f"{n_iterations} iterations")
         return SolveResult(kernel=v_host64[:self.n_eff],
                            iterations=n_iterations,
                            v_nonzero=v_nonzero, product_zero=product_zero,
-                           elapsed=elapsed, stopped_by_limit=stopped_by_limit)
+                           elapsed=elapsed, stopped_by_limit=stopped_by_limit,
+                           vtM=vtM)

@@ -60,6 +60,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="force the single-device driver")
     ap.add_argument("--no-checks", action="store_true",
                     help="disable per-iteration invariant checks")
+    ap.add_argument("--salvage", action="store_true",
+                    help="on a failed final check, extract the verified "
+                         "kernel combinations from the partial block "
+                         "(the reference just reports KO)")
     ap.add_argument("--sync-every", type=int, default=None, metavar="K",
                     help="iterations per host sync (device-side loop size); "
                          "default: adaptive doubling up to 1024. Use 1 for "
@@ -183,10 +187,20 @@ def main(argv=None) -> int:
     res = solver.solve(stop_after=args.stop_after, verbose=True,
                        on_iteration=on_iteration, resume_state=resume_state)
     print()
+    kernel, n_cols = res.kernel, args.n
+    if args.salvage and res.product_zero is False and res.vtM is not None:
+        from block_lanczos_tpu.utils.salvage import salvage_kernel
+        salvaged = salvage_kernel(res.kernel, res.vtM, args.prime)
+        print(f"Salvage: recovered {salvaged.shape[1]} / {args.n} verified "
+              "kernel vectors from the partially-converged block")
+        if salvaged.shape[1] == 0:
+            print("Salvage found no kernel vectors", file=sys.stderr)
+            return 1
+        kernel, n_cols = salvaged, salvaged.shape[1]
     if args.output_file:
         print(f"Saving result in {args.output_file}")
-        mmio.write_kernel_mtx(args.output_file, res.kernel,
-                              solver.n_eff, args.n)
+        mmio.write_kernel_mtx(args.output_file, kernel,
+                              solver.n_eff, n_cols)
     else:
         print("Not saving result (no --output given)")
     return 0

@@ -151,3 +151,23 @@ def test_wide_sharded_2d_grid():
         M, n=4, mesh=make_mesh_grid(2, 4), check_invariants=True).solve()
     assert got.iterations == ref.iterations
     np.testing.assert_array_equal(got.kernel, ref.kernel)
+
+
+@pytest.mark.parametrize("p", [3, 257, 65537, 1073741789])
+def test_cross_field_fuzz_narrow_vs_wide(p):
+    """Random configs: both field implementations must agree bit-for-bit
+    for any prime in the narrow range (they share only the xoshiro stream
+    and the algorithm — the arithmetic stacks are independent)."""
+    rng = np.random.default_rng(p)
+    nr = int(rng.integers(40, 120))
+    nc = int(rng.integers(24, nr))
+    n = int(rng.choice([1, 2, 4, 8]))
+    i, j, x = random_sparse(nr, nc, int(rng.integers(2, 7)), seed=p % 97)
+    Mn = mmio.COOMatrix(nr, nc, len(x), i.astype(np.int32),
+                        j.astype(np.int32), (x % p).astype(np.uint32), p)
+    Mw = mmio.COOMatrix(nr, nc, len(x), i.astype(np.int32),
+                        j.astype(np.int32), (x % p).astype(np.uint64), p)
+    rn = BlockLanczos(Mn, n=n, check_invariants=False).solve(stop_after=9)
+    rw = BlockLanczosWide(Mw, n=n, check_invariants=False).solve(stop_after=9)
+    # compare the iterate after 9 steps (stopped runs return v as-is)
+    np.testing.assert_array_equal(rn.kernel.astype(np.uint64), rw.kernel)
