@@ -178,3 +178,23 @@ def test_gf2_golden_parity_vs_reference_binary():
     _, _, ref = mmio.read_array_mtx(
         os.path.join(golden, "left_p2_n32.kernel.mtx"))
     np.testing.assert_array_equal(res.kernel, ref.astype(np.uint32))
+
+
+def test_spmv_gf2_fori_path():
+    """ell > 32 exercises the fori_loop slab with dynamic valid-bit lookup."""
+    rng = np.random.default_rng(14)
+    nr, nc, n = 50, 40, 32
+    # dense-ish rows so a forced wide slab still has real entries
+    i = np.repeat(np.arange(nr), 20)
+    j = rng.integers(0, nc, size=len(i))
+    key = i * nc + j
+    _, idx = np.unique(key, return_index=True)
+    i, j = i[idx], j[idx]
+    op = make_gf2_op(i, j, nr, nc, ell=40)
+    assert op.ell == 40
+    X = rng.integers(0, 2, size=(nc, n)).astype(np.uint32)
+    y = spmv_gf2(op, jnp.asarray(gf2.pack_bits_np(X)), out_rows=nr)
+    exp = np.zeros((nr, n), np.uint32)
+    for a, b in zip(i, j):
+        exp[a] ^= X[b]
+    np.testing.assert_array_equal(gf2.unpack_bits_np(np.asarray(y), n), exp)
