@@ -72,6 +72,11 @@ def get_lib():
         lib.format_u64_lines.argtypes = [
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64, ctypes.c_char_p]
         lib.format_u64_lines.restype = ctypes.c_int64
+        lib.parse_triplets_mod64.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_uint64]
+        lib.parse_triplets_mod64.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -124,6 +129,23 @@ def parse_triplets_mod(buf: bytes, nnz: int, prime: int):
                                  _ptr(mi, ctypes.c_int32),
                                  _ptr(mj, ctypes.c_int32),
                                  _ptr(mx, ctypes.c_uint32), prime)
+    if got != nnz:
+        raise ValueError(f"parse error: expected {nnz} triplets, got {got}")
+    return mi, mj, mx
+
+
+def parse_triplets_mod64(buf: bytes, nnz: int, prime: int):
+    """Wide-prime triplet parser (uint64 residues); None if lib missing."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    mi = np.empty(nnz, np.int32)
+    mj = np.empty(nnz, np.int32)
+    mx = np.empty(nnz, np.uint64)
+    got = lib.parse_triplets_mod64(buf, len(buf), nnz,
+                                   _ptr(mi, ctypes.c_int32),
+                                   _ptr(mj, ctypes.c_int32),
+                                   _ptr(mx, ctypes.c_uint64), prime)
     if got != nnz:
         raise ValueError(f"parse error: expected {nnz} triplets, got {got}")
     return mi, mj, mx

@@ -149,3 +149,42 @@ i64 format_u64_lines(const u64 *vals, i64 count, char *out)
     }
     return (i64)(p - out);
 }
+
+/* Wide-prime (p < 2^62) parser: coefficients reduced mod p as full 64-bit
+ * residues (mathematical v mod p for negatives, matching the Python path). */
+i64 parse_triplets_mod64(const char *buf, i64 len, i64 nnz,
+                         i32 *mi, i32 *mj, u64 *mx, u64 prime)
+{
+    const char *ptr = buf;
+    const char *end = buf + len;
+    for (i64 u = 0; u < nnz; u++) {
+        i64 vals[3];
+        for (int k = 0; k < 3; k++) {
+            while (ptr < end && (*ptr == ' ' || *ptr == '\t' ||
+                                 *ptr == '\n' || *ptr == '\r'))
+                ptr++;
+            if (ptr >= end)
+                return u;
+            int neg = 0;
+            if (*ptr == '+') ptr++;
+            else if (*ptr == '-') { neg = 1; ptr++; }
+            i64 v = 0;
+            int digits = 0;
+            while (ptr < end && *ptr >= '0' && *ptr <= '9') {
+                v = v * 10 + (*ptr - '0');
+                ptr++;
+                digits++;
+            }
+            if (!digits)
+                return u;
+            vals[k] = neg ? -v : v;
+        }
+        mi[u] = (i32)(vals[0] - 1);
+        mj[u] = (i32)(vals[1] - 1);
+        i64 r = vals[2] % (i64)prime;   /* C: sign follows dividend */
+        if (r < 0)
+            r += (i64)prime;
+        mx[u] = (u64)r;
+    }
+    return nnz;
+}

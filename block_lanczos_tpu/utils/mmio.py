@@ -87,16 +87,20 @@ def load_mtx(path: str, prime: int, verbose: bool = False) -> COOMatrix:
                   flush=True)
         buf = f.read()
 
-    if prime > 0x3FFFFFDD:  # wide prime: uint64 coefficients, numpy path
-        toks = buf.split()
-        if len(toks) < 3 * nnz:
-            raise ValueError(
-                f"parse error: expected {nnz} triplets, found {len(toks)//3}")
-        arr = np.array(toks[:3 * nnz], dtype=np.int64).reshape(nnz, 3)
-        mi = (arr[:, 0] - 1).astype(np.int32)
-        mj = (arr[:, 1] - 1).astype(np.int32)
-        # mathematical v mod p (int64 % positive -> non-negative)
-        mx = (arr[:, 2] % np.int64(prime)).astype(np.uint64)
+    if prime > 0x3FFFFFDD:  # wide prime: uint64 coefficients
+        parsed = native.parse_triplets_mod64(buf, nnz, prime)
+        if parsed is not None:
+            mi, mj, mx = parsed
+        else:
+            toks = buf.split()
+            if len(toks) < 3 * nnz:
+                raise ValueError(f"parse error: expected {nnz} triplets, "
+                                 f"found {len(toks)//3}")
+            arr = np.array(toks[:3 * nnz], dtype=np.int64).reshape(nnz, 3)
+            mi = (arr[:, 0] - 1).astype(np.int32)
+            mj = (arr[:, 1] - 1).astype(np.int32)
+            # mathematical v mod p (int64 % positive -> non-negative)
+            mx = (arr[:, 2] % np.int64(prime)).astype(np.uint64)
         return COOMatrix(nrows=nrows, ncols=ncols, nnz=nnz,
                          i=mi, j=mj, x=mx, prime=int(prime))
 
