@@ -102,9 +102,11 @@ def bench_ours(M):
     # headline at the reference's benchmark config (n=4), plus the n=32
     # production config (BASELINE.json config 3), the bitsliced GF(2)
     # factorization config, and the wide-field (p=2^61-1) config the
-    # reference cannot run at all
-    return (per_iter(N_BLOCK), per_iter(32), per_iter_gf2(128),
-            per_iter_wide(N_BLOCK))
+    # reference cannot run at all.  The headline takes the min of two
+    # measurements, symmetric with the reference baseline (shared host /
+    # tunnel contention inflates both sides).
+    return (min(per_iter(N_BLOCK), per_iter(N_BLOCK)), per_iter(32),
+            per_iter_gf2(128), per_iter_wide(N_BLOCK))
 
 
 def bench_reference_seq(mtx_path):
