@@ -140,3 +140,24 @@ def test_cli_wide_roundtrip(tmp_path):
                    "--single", "--output-file", out])
     assert rc == 0
     assert checker.check_kernel_file(mtx, out, p) is True
+
+
+import pytest
+
+
+@pytest.mark.slow
+def test_cli_sharded_field_routing(tmp_path):
+    """--devices routes wide and GF(2) primes to their mesh solvers."""
+    from block_lanczos_tpu.utils.gen import write_random_mtx
+
+    mtx = str(tmp_path / "m.mtx")
+    write_random_mtx(mtx, 96, 64, 4, seed=5)
+    # wide prime on an 8-device mesh
+    rc = cli.main(["--matrix", mtx, "--prime", "36028797018963913",
+                   "--n", "4", "--devices", "8", "--stop-after", "3",
+                   "--no-checks"])
+    assert rc == 0
+    # GF(2) on a 2x4 grid
+    rc = cli.main(["--matrix", mtx, "--prime", "2", "--n", "32",
+                   "--grid", "2", "4", "--stop-after", "3", "--no-checks"])
+    assert rc == 0
