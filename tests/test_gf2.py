@@ -198,3 +198,21 @@ def test_spmv_gf2_fori_path():
     for a, b in zip(i, j):
         exp[a] ^= X[b]
     np.testing.assert_array_equal(gf2.unpack_bits_np(np.asarray(y), n), exp)
+
+
+@pytest.mark.parametrize("seed", [21, 22, 23])
+def test_gf2_fuzz_vs_generic(seed):
+    """Random shapes/orientations: bitsliced iterates == generic p=2
+    iterates after a bounded number of steps."""
+    rng = np.random.default_rng(seed)
+    nr = int(rng.integers(48, 160))
+    nc = int(rng.integers(33, nr))
+    right = bool(rng.integers(0, 2))
+    i, j, x = random_sparse(nr, nc, int(rng.integers(2, 6)), seed=seed)
+    M = mmio.COOMatrix(nr, nc, len(x), i.astype(np.int32),
+                       j.astype(np.int32), (x % 2).astype(np.uint32), 2)
+    rg = BlockLanczos(M, n=32, right=right,
+                      check_invariants=False).solve(stop_after=7)
+    rb = BlockLanczosGF2(M, n=32, right=right,
+                         check_invariants=False).solve(stop_after=7)
+    np.testing.assert_array_equal(rb.kernel, rg.kernel.astype(np.uint32))
