@@ -95,6 +95,58 @@ def _local_multi_step(f: GFp, ops: shard_lib.ShardedOps, check: bool,
         zeros, v_local, p_local, max_steps)
 
 
+def _local_step_overlap(f: GFp, ops, check: bool,
+                        fa, fb, sa, sb, v_local, p_local):
+    """Chunked per-device iteration: each SpMV direction is split in two,
+    so chunk A's exact psum is independent of chunk B's local compute and
+    XLA's async collective scheduler can overlap them (the reference has
+    no comm/compute overlap at all — SURVEY.md section 2 item 7)."""
+    first_a = ops._local(ops.first_a, ops.ha, ops.band, fa)
+    first_b = ops._local(ops.first_b, ops.mband - ops.ha, ops.band, fb)
+    second_a = ops._local(ops.second_a, ops.hb, ops.mband, sa)
+    second_b = ops._local(ops.second_b, ops.band - ops.hb, ops.mband, sb)
+
+    tmp = jnp.concatenate([
+        psum_mod(f, spmm.apply_op(f, first_a, v_local, out_rows=ops.ha),
+                 ROWS_AXIS),
+        psum_mod(f, spmm.apply_op(f, first_b, v_local,
+                                  out_rows=ops.mband - ops.ha), ROWS_AXIS),
+    ], axis=0)
+    Av_local = jnp.concatenate([
+        psum_mod(f, spmm.apply_op(f, second_a, tmp, out_rows=ops.hb),
+                 COLS_AXIS),
+        psum_mod(f, spmm.apply_op(f, second_b, tmp,
+                                  out_rows=ops.band - ops.hb), COLS_AXIS),
+    ], axis=0)
+
+    n = v_local.shape[1]
+    grams = psum_mod(f, dense.gram_mod(
+        f, jnp.concatenate([v_local, Av_local], axis=1), Av_local), ROWS_AXIS)
+    vtAv, vtAAv = grams[:n], grams[n:]
+    winv, d, npiv = semi_inverse_device(f, vtAv)
+    stop = npiv == 0
+    inv_ok = (single.check_invariants_device(f, vtAv, vtAAv, winv, d)
+              if check else jnp.bool_(True))
+    v_next, p_next = single.orthogonalize_device(
+        f, v_local, Av_local, p_local, d, vtAv, vtAAv, winv)
+    v_out = jnp.where(stop, v_local, v_next)
+    p_out = jnp.where(stop, p_local, p_next)
+    return v_out, p_out, tmp, vtAv, vtAAv, winv, d, stop, inv_ok
+
+
+def _local_multi_step_overlap(f: GFp, ops, check: bool,
+                              fa, fb, sa, sb, v_local, p_local, max_steps):
+    n = v_local.shape[1]
+    zed = jnp.zeros((n, n), u32)
+    tmp0 = jax.lax.pcast(jnp.zeros((ops.mband, n), u32), (COLS_AXIS,),
+                         to="varying")
+    zeros = (tmp0, zed, zed, zed, jnp.zeros((n,), u32))
+    return single.run_multi_step(
+        lambda v, p: _local_step_overlap(f, ops, check, fa, fb, sa, sb,
+                                         v, p),
+        zeros, v_local, p_local, max_steps)
+
+
 class ShardedBlockLanczos:
     """Drop-in multi-device variant of models.BlockLanczos.
 
@@ -105,15 +157,20 @@ class ShardedBlockLanczos:
     def __init__(self, M: COOMatrix, n: int = 1, right: bool = False,
                  mesh: jax.sharding.Mesh | None = None,
                  pad_multiple: int = 8, check_invariants: bool = True,
-                 sync_every: int | None = None):
+                 sync_every: int | None = None, overlap: bool = False):
         from block_lanczos_tpu.parallel.mesh import make_mesh
         self.mesh = mesh if mesh is not None else make_mesh()
         self.f = GFp.make(M.prime)
         self.n = int(n)
         self.right = bool(right)
         self.check_invariants = check_invariants
-        self.ops = shard_lib.partition_matrix(
-            self.f, M, right, self.mesh, pad_multiple=pad_multiple)
+        self.overlap = bool(overlap)
+        if self.overlap:
+            self.ops = shard_lib.partition_matrix_overlap(
+                self.f, M, right, self.mesh, pad_multiple=pad_multiple)
+        else:
+            self.ops = shard_lib.partition_matrix(
+                self.f, M, right, self.mesh, pad_multiple=pad_multiple)
         self.n_eff = self.ops.n_eff
         self.m_eff = self.ops.m_eff
         self.np_rows = self.ops.np_rows
@@ -125,25 +182,32 @@ class ShardedBlockLanczos:
         v_spec = P(ROWS_AXIS, None)
         tmp_spec = P(COLS_AXIS, None)
         rep2 = P(None, None)
-        body = partial(_local_step, self.f, self.ops, check_invariants)
-        n_leaves = len(self.ops.first.leaves())
-        smapped = jax.shard_map(
-            body, mesh=self.mesh,
-            in_specs=((nnz_spec,) * n_leaves, (nnz_spec,) * n_leaves,
-                      v_spec, v_spec),
-            out_specs=(v_spec, v_spec, tmp_spec, rep2, rep2, rep2,
-                       P(None), P(), P()))
-        self._step = jax.jit(smapped, donate_argnums=(2, 3))
-
-        mbody = partial(_local_multi_step, self.f, self.ops,
-                        check_invariants)
+        out_specs = (v_spec, v_spec, tmp_spec, rep2, rep2, rep2,
+                     P(None), P(), P())
+        if self.overlap:
+            n_leaves = len(self.ops.first_a.leaves())
+            op_specs = ((nnz_spec,) * n_leaves,) * 4
+            mbody = partial(_local_multi_step_overlap, self.f, self.ops,
+                            check_invariants)
+            donate = (4, 5)
+            self._step = None  # overlap mode is blocked-iteration only
+        else:
+            n_leaves = len(self.ops.first.leaves())
+            op_specs = ((nnz_spec,) * n_leaves,) * 2
+            body = partial(_local_step, self.f, self.ops, check_invariants)
+            smapped = jax.shard_map(
+                body, mesh=self.mesh,
+                in_specs=(*op_specs, v_spec, v_spec),
+                out_specs=out_specs)
+            self._step = jax.jit(smapped, donate_argnums=(2, 3))
+            mbody = partial(_local_multi_step, self.f, self.ops,
+                            check_invariants)
+            donate = (2, 3)
         msmapped = jax.shard_map(
             mbody, mesh=self.mesh,
-            in_specs=((nnz_spec,) * n_leaves, (nnz_spec,) * n_leaves,
-                      v_spec, v_spec, P()),
-            out_specs=(v_spec, v_spec, tmp_spec, rep2, rep2, rep2,
-                       P(None), P(), P(), P()))
-        self._multi_step = jax.jit(msmapped, donate_argnums=(2, 3))
+            in_specs=(*op_specs, v_spec, v_spec, P()),
+            out_specs=(*out_specs, P()))
+        self._multi_step = jax.jit(msmapped, donate_argnums=donate)
         self.sync_every = sync_every
 
     def initial_block(self):
@@ -154,6 +218,8 @@ class ShardedBlockLanczos:
         return jax.device_put(v0, self._vec_sharding)
 
     def _step_args(self):
+        if self.overlap:
+            return self.ops.leaves()
         return (self.ops.first.leaves(), self.ops.second.leaves())
 
     def solve(self, stop_after: int = -1, verbose: bool = False,

@@ -93,6 +93,48 @@ def _band_size(dim: int, parts: int, multiple: int) -> int:
     return ((dim + parts * multiple - 1) // (parts * multiple)) * multiple
 
 
+def _build_dir(f: GFp, parts, out_dim: int, R: int, C: int,
+               nnz_sharding, chunk: int) -> _StackedDir:
+    """Build one stacked SpMV direction over the (R, C) part list."""
+    # uniform slab width: max of per-shard cost-model choices
+    ell = 1
+    for (oi, _ii, _xv) in parts:
+        counts = (np.bincount(oi, minlength=out_dim) if len(oi)
+                  else np.zeros(out_dim, np.int64))
+        ell = max(ell, spmm.choose_ell_width(counts))
+    # first pass: spill sizes -> common pad
+    spill_pad = 1
+    built = []
+    for (oi, ii, xv) in parts:
+        arrs = spmm.build_hybrid_arrays(
+            f, oi, ii, xv, out_dim, out_dim, ell, chunk=chunk)
+        built.append(arrs)
+        spill_pad = max(spill_pad, arrs[2][0].shape[0])
+    # rebuild spills padded to the common size
+    cols_l, vals_l, so_l, si_l, sv_l, srp_l = [], [], [], [], [], []
+    seg_safe = True
+    for (cols2d, vals2d, spill_t, _nnz), (oi, ii, xv) in zip(built, parts):
+        if spill_t[0].shape[0] != spill_pad:
+            _c, _v, spill_t, _n = spmm.build_hybrid_arrays(
+                f, oi, ii, xv, out_dim, out_dim, ell, chunk=chunk,
+                spill_pad_to=spill_pad)
+        s_o, s_i, s_v, _s_nnz, s_rp, s_safe = spill_t
+        seg_safe = seg_safe and s_safe
+        cols_l.append(cols2d); vals_l.append(vals2d)
+        so_l.append(s_o); si_l.append(s_i); sv_l.append(s_v)
+        srp_l.append(s_rp)
+
+    def stack(xs):
+        arr = np.stack(xs)
+        arr = arr.reshape((R, C) + arr.shape[1:])
+        return jax.device_put(arr, nnz_sharding)
+
+    return _StackedDir(ell=ell, seg_safe=seg_safe,
+                       cols=stack(cols_l), vals=stack(vals_l),
+                       spill_out=stack(so_l), spill_in=stack(si_l),
+                       spill_val=stack(sv_l), spill_rowptr=stack(srp_l))
+
+
 def partition_matrix(f: GFp, M: COOMatrix, right: bool,
                      mesh: jax.sharding.Mesh, pad_multiple: int = 8,
                      chunk: int = spmm.DEFAULT_CHUNK) -> ShardedOps:
@@ -120,49 +162,96 @@ def partition_matrix(f: GFp, M: COOMatrix, right: bool,
             second_parts.append((lk, lo, xv))  # out = local N, in = local M
 
     nnz_sharding = NamedSharding(mesh, P(ROWS_AXIS, COLS_AXIS))
-
-    def build_dir(parts, out_dim) -> _StackedDir:
-        # uniform slab width: max of per-shard cost-model choices
-        ell = 1
-        for (oi, _ii, _xv) in parts:
-            counts = (np.bincount(oi, minlength=out_dim) if len(oi)
-                      else np.zeros(out_dim, np.int64))
-            ell = max(ell, spmm.choose_ell_width(counts))
-        # first pass: spill sizes -> common pad
-        spill_pad = 1
-        built = []
-        for (oi, ii, xv) in parts:
-            arrs = spmm.build_hybrid_arrays(
-                f, oi, ii, xv, out_dim, out_dim, ell, chunk=chunk)
-            built.append(arrs)
-            spill_pad = max(spill_pad, arrs[2][0].shape[0])
-        # rebuild spills padded to the common size
-        cols_l, vals_l, so_l, si_l, sv_l, srp_l = [], [], [], [], [], []
-        seg_safe = True
-        for (cols2d, vals2d, spill_t, _nnz), (oi, ii, xv) in zip(built, parts):
-            if spill_t[0].shape[0] != spill_pad:
-                _c, _v, spill_t, _n = spmm.build_hybrid_arrays(
-                    f, oi, ii, xv, out_dim, out_dim, ell, chunk=chunk,
-                    spill_pad_to=spill_pad)
-            s_o, s_i, s_v, _s_nnz, s_rp, s_safe = spill_t
-            seg_safe = seg_safe and s_safe
-            cols_l.append(cols2d); vals_l.append(vals2d)
-            so_l.append(s_o); si_l.append(s_i); sv_l.append(s_v)
-            srp_l.append(s_rp)
-
-        def stack(xs):
-            arr = np.stack(xs)
-            arr = arr.reshape((R, C) + arr.shape[1:])
-            return jax.device_put(arr, nnz_sharding)
-
-        return _StackedDir(ell=ell, seg_safe=seg_safe,
-                           cols=stack(cols_l), vals=stack(vals_l),
-                           spill_out=stack(so_l), spill_in=stack(si_l),
-                           spill_val=stack(sv_l), spill_rowptr=stack(srp_l))
-
-    first = build_dir(first_parts, mband)
-    second = build_dir(second_parts, band)
+    first = _build_dir(f, first_parts, mband, R, C, nnz_sharding, chunk)
+    second = _build_dir(f, second_parts, band, R, C, nnz_sharding, chunk)
     return ShardedOps(grid=(R, C), band=band, mband=mband,
                       np_rows=band * R, mp_rows=mband * C,
                       n_eff=n_eff, m_eff=m_eff,
                       first=first, second=second, chunk=chunk)
+
+
+@dataclasses.dataclass
+class OverlapShardedOps:
+    """ShardedOps variant with each SpMV direction split into two row
+    chunks, so the psum of chunk A can overlap chunk B's local compute
+    (the north-star "halo psum overlapped with SpMV" — XLA's async
+    collective scheduler interleaves them once the ops are independent).
+    Bit-exact with the unchunked layout by construction.
+    """
+    grid: tuple
+    band: int
+    mband: int
+    np_rows: int
+    mp_rows: int
+    n_eff: int
+    m_eff: int
+    ha: int            # first-direction split row (out dim = mband)
+    hb: int            # second-direction split row (out dim = band)
+    first_a: _StackedDir
+    first_b: _StackedDir
+    second_a: _StackedDir
+    second_b: _StackedDir
+    chunk: int
+
+    def _local(self, d: _StackedDir, out_dim: int, in_dim: int,
+               leaves) -> HybridOp:
+        cols, vals, s_o, s_i, s_v, s_rp = (leaf[0, 0] for leaf in leaves)
+        spill = SparseOp(out_dim=out_dim, in_dim=in_dim, nnz=-1,
+                         chunk=self.chunk, seg_safe=d.seg_safe,
+                         out_idx=s_o, in_idx=s_i, val_mont=s_v, rowptr=s_rp)
+        return HybridOp(out_dim=out_dim, in_dim=in_dim, nnz=-1, ell=d.ell,
+                        cols=cols, vals=vals, spill=spill)
+
+    def leaves(self):
+        return (self.first_a.leaves(), self.first_b.leaves(),
+                self.second_a.leaves(), self.second_b.leaves())
+
+
+def partition_matrix_overlap(f: GFp, M: COOMatrix, right: bool,
+                             mesh: jax.sharding.Mesh, pad_multiple: int = 8,
+                             chunk: int = spmm.DEFAULT_CHUNK
+                             ) -> OverlapShardedOps:
+    """2D partition with each direction's output rows split in half."""
+    R = mesh.shape[ROWS_AXIS]
+    C = mesh.shape[COLS_AXIS]
+    n_eff = M.ncols if right else M.nrows
+    m_eff = M.nrows if right else M.ncols
+    key = (M.j if right else M.i).astype(np.int64)
+    other = (M.i if right else M.j).astype(np.int64)
+    band = _band_size(n_eff, R, pad_multiple)
+    mband = _band_size(m_eff, C, pad_multiple)
+    ha = (mband // 2 // pad_multiple) * pad_multiple
+    hb = (band // 2 // pad_multiple) * pad_multiple
+    if not (0 < ha < mband and 0 < hb < band):
+        raise ValueError(
+            "matrix bands too small to chunk for comm/compute overlap; "
+            "use the default ShardedBlockLanczos")
+
+    rshard = key // band
+    cshard = other // mband
+    fa, fb, sa, sb = [], [], [], []
+    for r in range(R):
+        for c in range(C):
+            sel = (rshard == r) & (cshard == c)
+            lk = (key[sel] - r * band).astype(np.int32)
+            lo = (other[sel] - c * mband).astype(np.int32)
+            xv = M.x[sel]
+            m_lo = lo < ha
+            fa.append((lo[m_lo], lk[m_lo], xv[m_lo]))
+            fb.append(((lo[~m_lo] - ha).astype(np.int32), lk[~m_lo],
+                       xv[~m_lo]))
+            m_lk = lk < hb
+            sa.append((lk[m_lk], lo[m_lk], xv[m_lk]))
+            sb.append(((lk[~m_lk] - hb).astype(np.int32), lo[~m_lk],
+                       xv[~m_lk]))
+
+    nnz_sharding = NamedSharding(mesh, P(ROWS_AXIS, COLS_AXIS))
+    return OverlapShardedOps(
+        grid=(R, C), band=band, mband=mband,
+        np_rows=band * R, mp_rows=mband * C, n_eff=n_eff, m_eff=m_eff,
+        ha=ha, hb=hb,
+        first_a=_build_dir(f, fa, ha, R, C, nnz_sharding, chunk),
+        first_b=_build_dir(f, fb, mband - ha, R, C, nnz_sharding, chunk),
+        second_a=_build_dir(f, sa, hb, R, C, nnz_sharding, chunk),
+        second_b=_build_dir(f, sb, band - hb, R, C, nnz_sharding, chunk),
+        chunk=chunk)

@@ -60,6 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="force the single-device driver")
     ap.add_argument("--no-checks", action="store_true",
                     help="disable per-iteration invariant checks")
+    ap.add_argument("--overlap", action="store_true",
+                    help="chunk each SpMV so exact psums overlap local "
+                         "compute (narrow-field mesh solver only)")
     ap.add_argument("--salvage", action="store_true",
                     help="on a failed final check, extract the verified "
                          "kernel combinations from the partial block "
@@ -157,7 +160,8 @@ def main(argv=None) -> int:
             mesh = make_mesh(args.devices)
         solver = ShardedBlockLanczos(M, n=args.n, right=right, mesh=mesh,
                                      check_invariants=not args.no_checks,
-                                     sync_every=args.sync_every)
+                                     sync_every=args.sync_every,
+                                     overlap=args.overlap)
 
     resume_state = None
     extra_time = 0.0

@@ -114,3 +114,31 @@ def test_sharded_checkpoint_resume(tmp_path):
         resume_state=ckpt.load_checkpoint(d))
     assert resumed.iterations == full.iterations
     np.testing.assert_array_equal(resumed.kernel, full.kernel)
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_overlap_bit_exact(ndev):
+    """The chunked comm/compute-overlap layout is bit-exact with the
+    default sharded solver (and hence with the sequential C reference)."""
+    prime, n = 65537, 4
+    M = mmio.load_mtx(os.path.join(GOLDEN, "left_p65537_n4.mtx"), prime)
+    ref = ShardedBlockLanczos(M, n=n, mesh=make_mesh(ndev),
+                              check_invariants=False).solve()
+    got = ShardedBlockLanczos(M, n=n, mesh=make_mesh(ndev),
+                              check_invariants=False, overlap=True).solve()
+    assert got.iterations == ref.iterations
+    np.testing.assert_array_equal(got.kernel, ref.kernel)
+    assert got.v_nonzero and got.product_zero
+
+
+def test_overlap_2d_grid_bit_exact():
+    from block_lanczos_tpu.parallel.mesh import make_mesh_grid
+
+    prime, n = 1073741789, 4
+    M = mmio.load_mtx(os.path.join(GOLDEN, "left_pbig_n4.mtx"), prime)
+    ref = ShardedBlockLanczos(M, n=n, mesh=make_mesh(1),
+                              check_invariants=False).solve()
+    got = ShardedBlockLanczos(M, n=n, mesh=make_mesh_grid(2, 4),
+                              check_invariants=True, overlap=True).solve()
+    assert got.iterations == ref.iterations
+    np.testing.assert_array_equal(got.kernel, ref.kernel)
