@@ -218,6 +218,11 @@ def blocked_solve_loop(multi_step, v, p_blk, start_iter: int,
     doubling 1 -> 1024 targeting ~0.25 s blocks when None).  On a failed
     invariant, inv_fail(diag, iteration) is called to raise with context.
     Returns (v, p_blk, tmp, n_iterations, stopped_by_limit, start_time).
+
+    Callback cadence: `on_iteration` fires once per *device block* (after up
+    to `sync_every` iterations, 1024 under the default adaptive mode), NOT
+    once per Lanczos iteration.  Pass sync_every=1 for strict per-iteration
+    callbacks at the cost of one host sync per iteration.
     """
     start = time.time()
     n_iterations = start_iter
@@ -313,6 +318,13 @@ class BlockLanczos:
     def solve(self, stop_after: int = -1, verbose: bool = False,
               on_iteration: Callable | None = None,
               resume_state: dict | None = None) -> SolveResult:
+        """Run to convergence (or `stop_after` iterations).
+
+        `on_iteration` fires once per device-side iteration block (adaptive,
+        up to 1024 iterations per dispatch under the default sync_every=None),
+        not once per Lanczos iteration; construct with sync_every=1 for strict
+        per-iteration callbacks (see blocked_solve_loop).
+        """
         f = self.f
         if resume_state is None:
             v = self.initial_block()

@@ -23,15 +23,26 @@ _tried = False
 
 
 def _build() -> bool:
+    # Compile to a temp file in the same directory, then os.rename over the
+    # target: atomic on POSIX, so a concurrent process can never CDLL a
+    # partially written .so (mirrors checkpoint._atomic_write).
+    tmp = f"{_SO}.build.{os.getpid()}.tmp"
     for cc in ("cc", "gcc", "clang"):
         try:
             r = subprocess.run(
-                [cc, "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
+                [cc, "-O3", "-shared", "-fPIC", "-o", tmp, _SRC],
                 capture_output=True, timeout=120)
             if r.returncode == 0:
+                os.rename(tmp, _SO)
                 return True
         except (OSError, subprocess.TimeoutExpired):
             continue
+        finally:
+            if os.path.exists(tmp):
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
     return False
 
 

@@ -225,6 +225,13 @@ class ShardedBlockLanczos:
     def solve(self, stop_after: int = -1, verbose: bool = False,
               on_iteration: Callable | None = None,
               resume_state: dict | None = None) -> SolveResult:
+        """Run to convergence (or `stop_after` iterations).
+
+        `on_iteration` fires once per device-side iteration block (adaptive,
+        up to 1024 iterations per dispatch under the default sync_every=None),
+        not once per Lanczos iteration; construct with sync_every=1 for strict
+        per-iteration callbacks (see models.lanczos.blocked_solve_loop).
+        """
         ops = self.ops
         if resume_state is None:
             v = self.initial_block()

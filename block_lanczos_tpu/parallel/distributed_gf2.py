@@ -243,6 +243,13 @@ class ShardedBlockLanczosGF2:
     def solve(self, stop_after: int = -1, verbose: bool = False,
               on_iteration: Callable | None = None,
               resume_state: dict | None = None) -> SolveResult:
+        """Run to convergence (or `stop_after` iterations).
+
+        `on_iteration` fires once per device-side iteration block (adaptive,
+        up to 1024 iterations per dispatch under the default sync_every=None),
+        not once per Lanczos iteration; construct with sync_every=1 for strict
+        per-iteration callbacks (see models.lanczos.blocked_solve_loop).
+        """
         if resume_state is None:
             v = self.initial_block()
             p_blk = jax.device_put(np.zeros((self.np_rows, self.W), np.uint32),

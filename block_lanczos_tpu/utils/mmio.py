@@ -74,6 +74,30 @@ def _validate_sparse(obj, fmt, field, sym):
             "(only integer general are OK)")
 
 
+def _validate_indices(mi: np.ndarray, mj: np.ndarray, nrows: int, ncols: int):
+    """Range-check parsed 0-based indices before any layout build touches them.
+
+    The native coo_to_csr writes through rowptr[i+1] / cols[dst] without bounds
+    checks, so a malformed file with ids outside [1, nrows] x [1, ncols] must be
+    rejected here (and an id of 0 would otherwise wrap to -1 silently in the
+    NumPy fallback paths).
+    """
+    if mi.size == 0:
+        return
+    bad_i = (mi < 0) | (mi >= nrows)
+    if bad_i.any():
+        k = int(np.argmax(bad_i))
+        raise ValueError(
+            f"matrix entry {k + 1}: row index {int(mi[k]) + 1} outside "
+            f"[1, {nrows}]")
+    bad_j = (mj < 0) | (mj >= ncols)
+    if bad_j.any():
+        k = int(np.argmax(bad_j))
+        raise ValueError(
+            f"matrix entry {k + 1}: column index {int(mj[k]) + 1} outside "
+            f"[1, {ncols}]")
+
+
 def load_mtx(path: str, prime: int, verbose: bool = False) -> COOMatrix:
     """Load a sparse MatrixMarket file as COO, coefficients reduced mod prime."""
     if verbose:
@@ -101,6 +125,7 @@ def load_mtx(path: str, prime: int, verbose: bool = False) -> COOMatrix:
             mj = (arr[:, 1] - 1).astype(np.int32)
             # mathematical v mod p (int64 % positive -> non-negative)
             mx = (arr[:, 2] % np.int64(prime)).astype(np.uint64)
+        _validate_indices(mi, mj, nrows, ncols)
         return COOMatrix(nrows=nrows, ncols=ncols, nnz=nnz,
                          i=mi, j=mj, x=mx, prime=int(prime))
 
@@ -123,6 +148,7 @@ def load_mtx(path: str, prime: int, verbose: bool = False) -> COOMatrix:
         # negatives), then reduced mod p as a u64
         mx = ((arr[:, 2].astype(np.int64).astype(np.uint32)).astype(np.uint64)
               % np.uint64(prime)).astype(np.uint32)
+    _validate_indices(mi, mj, nrows, ncols)
     return COOMatrix(nrows=nrows, ncols=ncols, nnz=nnz,
                      i=mi, j=mj, x=mx, prime=int(prime))
 

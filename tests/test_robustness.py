@@ -88,6 +88,25 @@ def test_mmio_rejects_wrong_types(tmp_path):
         mmio.load_mtx(str(trunc), 65537)
 
 
+def test_mmio_rejects_out_of_range_indices(tmp_path):
+    """Indices outside [1, nrows] x [1, ncols] (incl. 0) must raise, never
+    wrap or write out of bounds in the native layout builder."""
+    header = "%%MatrixMarket matrix coordinate integer general\n3 2 2\n"
+    cases = [
+        "1 1 5\n4 2 7\n",   # row > nrows
+        "1 1 5\n2 3 7\n",   # col > ncols
+        "0 1 5\n2 2 7\n",   # 1-based row of 0 (would wrap to -1)
+        "1 0 5\n2 2 7\n",   # 1-based col of 0
+    ]
+    for k, body in enumerate(cases):
+        bad = tmp_path / f"bad_idx_{k}.mtx"
+        bad.write_text(header + body)
+        with pytest.raises(ValueError):
+            mmio.load_mtx(str(bad), 65537)
+        with pytest.raises(ValueError):  # wide-prime path validates too
+            mmio.load_mtx(str(bad), (1 << 61) - 1)
+
+
 def test_skewed_matrix_spill_path():
     """Power-law column weights (factorization-matrix shape): the dense
     columns overflow the ELL slab into the spill path; results stay exact."""
