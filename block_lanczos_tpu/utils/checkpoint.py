@@ -62,6 +62,36 @@ def load_checkpoint(ckpt_dir: str) -> dict:
     return state
 
 
+class CheckpointMismatch(ValueError):
+    """The checkpoint on disk belongs to a different problem/configuration."""
+
+
+# Manifest keys that must agree with the resuming invocation.  Matrix identity
+# is established by (nrows, ncols, nnz) rather than the path string, so moving
+# the matrix file does not invalidate a checkpoint.  The reference blindly
+# trusts whatever is on disk (mpi/lanczos_modp.c:1678-1686) — we refuse instead
+# of silently producing garbage.
+VALIDATED_KEYS = ("prime", "n", "right", "field", "nrows", "ncols", "nnz")
+
+
+def validate_meta(state: dict, expected: dict):
+    """Raise CheckpointMismatch if the manifest conflicts with `expected`.
+
+    Only keys present in BOTH dicts are compared, so manifests written by
+    older versions (without the full meta) still resume.
+    """
+    mismatches = []
+    for k in VALIDATED_KEYS:
+        if k in state and k in expected and state[k] != expected[k]:
+            mismatches.append(
+                f"{k}: checkpoint has {state[k]!r}, this run has "
+                f"{expected[k]!r}")
+    if mismatches:
+        raise CheckpointMismatch(
+            "checkpoint is incompatible with this invocation:\n  "
+            + "\n  ".join(mismatches))
+
+
 class CheckpointManager:
     """Timer-driven checkpointing (reference default: every 60 s)."""
 

@@ -106,6 +106,35 @@ def main(argv=None) -> int:
         return 1
     print(f"  - {M.nrows} x {M.ncols} with {M.nnz} nz", file=sys.stderr)
 
+    field = ("wide" if wide
+             else "gf2" if args.prime == 2 and args.n % 32 == 0
+             else "narrow")
+    run_meta = {"matrix": args.matrix, "prime": args.prime, "n": args.n,
+                "right": right, "field": field,
+                "nrows": M.nrows, "ncols": M.ncols, "nnz": M.nnz}
+
+    resume_state = None
+    extra_time = 0.0
+    if args.load_checkpoint:
+        try:
+            resume_state = ckpt.load_checkpoint(args.checkpoint_dir)
+        except OSError as e:
+            print(f"cannot load checkpoint from {args.checkpoint_dir}: {e}",
+                  file=sys.stderr)
+            return 1
+        try:
+            ckpt.validate_meta(resume_state, run_meta)
+        except ckpt.CheckpointMismatch as e:
+            print(e, file=sys.stderr)
+            return 1
+        if resume_state.get("matrix") not in (None, args.matrix):
+            print(f"  - note: checkpoint was written for matrix path "
+                  f"{resume_state['matrix']!r} (shape/nnz match; continuing)",
+                  file=sys.stderr)
+        extra_time = float(resume_state.get("elapsed", 0.0))
+        print(f"Resuming from iteration {resume_state['iteration']} "
+              f"({args.checkpoint_dir})")
+
     if wide:
         print("  - wide field (p > 2^30): two-limb arithmetic",
               file=sys.stderr)
@@ -163,23 +192,13 @@ def main(argv=None) -> int:
                                      sync_every=args.sync_every,
                                      overlap=args.overlap)
 
-    resume_state = None
-    extra_time = 0.0
-    if args.load_checkpoint:
-        resume_state = ckpt.load_checkpoint(args.checkpoint_dir)
-        extra_time = float(resume_state.get("elapsed", 0.0))
-        print(f"Resuming from iteration {resume_state['iteration']} "
-              f"({args.checkpoint_dir})")
-
     verb = VerbosityEngine(solver.expected_iterations, extra_time=extra_time)
     verb.n_iterations = resume_state["iteration"] if resume_state else 0
     manager = None
     if args.checkpoint is not None:
         manager = ckpt.CheckpointManager(
             args.checkpoint_dir, interval_s=args.checkpoint,
-            meta={"matrix": args.matrix, "prime": args.prime, "n": args.n,
-                  "right": right},
-            verbose=True)
+            meta=run_meta, verbose=True)
 
     def on_iteration(slv, iteration, v, p_blk, start):
         verb.n_iterations = iteration - 1

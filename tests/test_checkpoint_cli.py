@@ -103,6 +103,60 @@ def test_cli_validation(tmp_path):
                      "--stop-after", "2", "--no-checks"]) == 0
 
 
+def test_cli_checkpoint_meta_mismatch(tmp_path, capsys):
+    """Resuming with conflicting {prime, n, right, field, shape} is refused
+    with a clear error (the reference blindly trusts the files on disk,
+    mpi/lanczos_modp.c:1678-1686)."""
+    from block_lanczos_tpu.utils.gen import write_random_mtx
+
+    mtx = os.path.join(GOLDEN, "left_p65537_n4.mtx")
+    ckdir = str(tmp_path / "ck")
+    rc = cli.main(["--matrix", mtx, "--prime", "65537", "--n", "4",
+                   "--stop-after", "4", "--single",
+                   "--checkpoint", "0", "--checkpoint-dir", ckdir])
+    assert rc == 0
+    capsys.readouterr()
+
+    def resume(extra):
+        return cli.main(["--matrix", mtx, "--single", "--load-checkpoint",
+                         "--checkpoint-dir", ckdir, "--stop-after", "6",
+                         *extra])
+
+    # wrong n
+    assert resume(["--prime", "65537", "--n", "8"]) == 1
+    assert "n: checkpoint has 4" in capsys.readouterr().err
+    # wrong prime (also flips the field for p=2... use a narrow prime)
+    assert resume(["--prime", "65521", "--n", "4"]) == 1
+    assert "prime: checkpoint has 65537" in capsys.readouterr().err
+    # wrong kernel side
+    assert resume(["--prime", "65537", "--n", "4", "--right"]) == 1
+    assert "right: checkpoint has False" in capsys.readouterr().err
+    # wrong matrix shape (same flags, different file)
+    other = str(tmp_path / "other.mtx")
+    write_random_mtx(other, 64, 48, 3, seed=9)
+    rc = cli.main(["--matrix", other, "--single", "--load-checkpoint",
+                   "--checkpoint-dir", ckdir, "--stop-after", "6",
+                   "--prime", "65537", "--n", "4"])
+    assert rc == 1
+    assert "nrows: checkpoint has" in capsys.readouterr().err
+    # matching config resumes fine
+    assert resume(["--prime", "65537", "--n", "4"]) == 0
+    # missing checkpoint dir is a clean error, not a traceback
+    rc = cli.main(["--matrix", mtx, "--prime", "65537", "--n", "4",
+                   "--single", "--load-checkpoint",
+                   "--checkpoint-dir", str(tmp_path / "nope")])
+    assert rc == 1
+    assert "cannot load checkpoint" in capsys.readouterr().err
+
+
+def test_validate_meta_ignores_unknown_and_legacy():
+    """Manifests from older versions (no field/shape keys) still resume."""
+    ckpt.validate_meta({"iteration": 3, "prime": 65537},
+                       {"prime": 65537, "n": 4, "field": "narrow"})
+    with pytest.raises(ckpt.CheckpointMismatch):
+        ckpt.validate_meta({"prime": 65537}, {"prime": 2})
+
+
 def test_verbosity_engine(capsys):
     eng = VerbosityEngine(100, min_interval_s=0.0)
     import time
