@@ -45,6 +45,25 @@ def pad_rows(dim: int, multiple: int) -> int:
     return ((dim + multiple - 1) // multiple) * multiple
 
 
+def fit_rows(arr, rows: int) -> np.ndarray:
+    """Adapt a resume-state block's zero-padded row count to this solver's
+    padding.  Mesh solvers pad the kernel dimension to band*R, single-device
+    to a multiple of 8 — both paddings are all-zero rows, so a checkpoint
+    written under one mesh shape resumes exactly under any other."""
+    arr = np.asarray(arr)
+    if arr.shape[0] == rows:
+        return arr
+    if arr.shape[0] > rows:
+        if arr[rows:].any():
+            raise ValueError(
+                f"checkpoint block has {arr.shape[0]} rows with nonzero data "
+                f"beyond this solver's padded size {rows} — wrong matrix or "
+                "kernel side?")
+        return np.ascontiguousarray(arr[:rows])
+    pad = np.zeros((rows - arr.shape[0],) + arr.shape[1:], arr.dtype)
+    return np.concatenate([arr, pad])
+
+
 # ---------------------------------------------------------------------------
 # Device-side phases
 # ---------------------------------------------------------------------------
@@ -306,7 +325,7 @@ class BlockLanczos:
                     check_invariants),
             donate_argnums=(2, 3))
         self._multi_step = lambda v, p_blk, k: multi(
-            self.first_op, self.second_op, v, p_blk, jnp.uint32(k))
+            self.first_op, self.second_op, v, p_blk, np.uint32(k))
 
     def initial_block(self) -> jnp.ndarray:
         """v0: xoshiro row-major over n_eff*n entries, zero-padded."""
@@ -331,8 +350,8 @@ class BlockLanczos:
             p_blk = jnp.zeros((self.np_rows, self.n), u32)
             start_iter = 0
         else:
-            v = jnp.asarray(resume_state["v"])
-            p_blk = jnp.asarray(resume_state["p"])
+            v = jnp.asarray(fit_rows(resume_state["v"], self.np_rows))
+            p_blk = jnp.asarray(fit_rows(resume_state["p"], self.np_rows))
             start_iter = int(resume_state["iteration"])
         if verbose:
             print("Block Lanczos")

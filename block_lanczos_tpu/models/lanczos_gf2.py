@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from block_lanczos_tpu.models.lanczos import SolveResult, pad_rows
+from block_lanczos_tpu.models.lanczos import SolveResult, fit_rows, pad_rows
 from block_lanczos_tpu.ops import gf2
 from block_lanczos_tpu.ops.gf2 import WORD, words
 from block_lanczos_tpu.ops.gfp import u32
@@ -273,7 +273,7 @@ class BlockLanczosGF2:
                         donate_argnums=(6, 7))
         self._multi_step = lambda v, p_blk, k: multi(
             self.first_op, self.second_op, self.n, self.mp_rows,
-            self.np_rows, self.check_invariants, v, p_blk, jnp.uint32(k))
+            self.np_rows, self.check_invariants, v, p_blk, np.uint32(k))
 
     def initial_block(self):
         """v0 bits from the same xoshiro stream: random64() % 2 per entry."""
@@ -297,8 +297,8 @@ class BlockLanczosGF2:
             p_blk = jnp.zeros((self.np_rows, self.W), u32)
             n_iterations = 0
         else:
-            v = jnp.asarray(resume_state["v"])
-            p_blk = jnp.asarray(resume_state["p"])
+            v = jnp.asarray(fit_rows(resume_state["v"], self.np_rows))
+            p_blk = jnp.asarray(fit_rows(resume_state["p"], self.np_rows))
             n_iterations = int(resume_state["iteration"])
         if verbose:
             print("Block Lanczos [GF(2) bitsliced]")

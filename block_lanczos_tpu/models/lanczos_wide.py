@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from block_lanczos_tpu.models.lanczos import SolveResult, pad_rows
+from block_lanczos_tpu.models.lanczos import SolveResult, fit_rows, pad_rows
 from block_lanczos_tpu.ops import gfp_wide as gw
 from block_lanczos_tpu.ops import wide_ops as wo
 from block_lanczos_tpu.ops.gfp import u32
@@ -139,7 +139,7 @@ class BlockLanczosWide:
                                 self.np_rows, check_invariants),
                         donate_argnums=(2, 3))
         self._multi_step = lambda v, p_blk, k: multi(
-            self.first_op, self.second_op, v, p_blk, jnp.uint32(k))
+            self.first_op, self.second_op, v, p_blk, np.uint32(k))
 
     def initial_block(self):
         """v0: xoshiro random64() % p, row-major — full 62-bit values."""
@@ -163,8 +163,8 @@ class BlockLanczosWide:
             p_blk = jnp.zeros((self.np_rows, self.n, 2), u32)
             n_iterations = 0
         else:
-            v = jnp.asarray(resume_state["v"])
-            p_blk = jnp.asarray(resume_state["p"])
+            v = jnp.asarray(fit_rows(resume_state["v"], self.np_rows))
+            p_blk = jnp.asarray(fit_rows(resume_state["p"], self.np_rows))
             n_iterations = int(resume_state["iteration"])
         if verbose:
             print("Block Lanczos [wide field]")

@@ -285,7 +285,9 @@ def modinv_device(f: GFpWide, a):
 # Exact overflow-safe summation: 5 x 15-bit limbs
 # ---------------------------------------------------------------------------
 
-_M15 = u32(0x7FFF)
+# numpy scalar (not a jnp constant): module import must not initialize the
+# XLA backend — jax.distributed.initialize() has to run first in multi-host
+_M15 = np.uint32(0x7FFF)
 
 
 def limb_split(x):

@@ -40,6 +40,7 @@ from block_lanczos_tpu.ops.semi_inverse import semi_inverse_device
 from block_lanczos_tpu.parallel import sharding as shard_lib
 from block_lanczos_tpu.parallel.collectives import psum_mod
 from block_lanczos_tpu.parallel.mesh import COLS_AXIS, ROWS_AXIS
+from block_lanczos_tpu.parallel.multihost import fetch_global, put_global
 from block_lanczos_tpu.utils.mmio import COOMatrix
 from block_lanczos_tpu.utils.rng import Xoshiro256Plus
 
@@ -215,7 +216,7 @@ class ShardedBlockLanczos:
         block = self._rng.fill_mod(self.n_eff * self.n, self.f.p)
         v0 = np.zeros((self.np_rows, self.n), np.uint32)
         v0[:self.n_eff] = block.reshape(self.n_eff, self.n)
-        return jax.device_put(v0, self._vec_sharding)
+        return put_global(v0, self._vec_sharding)
 
     def _step_args(self):
         if self.overlap:
@@ -235,15 +236,17 @@ class ShardedBlockLanczos:
         ops = self.ops
         if resume_state is None:
             v = self.initial_block()
-            p_blk = jax.device_put(
+            p_blk = put_global(
                 np.zeros((self.np_rows, self.n), np.uint32),
                 self._vec_sharding)
             n_iterations = 0
         else:
-            v = jax.device_put(np.asarray(resume_state["v"]),
+            v = put_global(single.fit_rows(resume_state["v"],
+                                           self.np_rows),
+                           self._vec_sharding)
+            p_blk = put_global(single.fit_rows(resume_state["p"],
+                                               self.np_rows),
                                self._vec_sharding)
-            p_blk = jax.device_put(np.asarray(resume_state["p"]),
-                                   self._vec_sharding)
             n_iterations = int(resume_state["iteration"])
         if verbose:
             R, C = ops.grid
@@ -259,17 +262,17 @@ class ShardedBlockLanczos:
 
         v, p_blk, tmp, n_iterations, stopped_by_limit, start = \
             single.blocked_solve_loop(
-                lambda v, p, k: self._multi_step(*args, v, p, jnp.uint32(k)),
+                lambda v, p, k: self._multi_step(*args, v, p, np.uint32(k)),
                 v, p_blk, n_iterations, stop_after, self.sync_every,
                 on_iteration=on_iteration,
                 inv_fail=inv_fail if self.check_invariants else None,
                 solver=self)
         elapsed = time.time() - start
-        v_host = np.asarray(jax.device_get(v))
+        v_host = fetch_global(v)
         v_nonzero = product_zero = None
         vtM = None
         if not stopped_by_limit:
-            tmp_host = np.asarray(jax.device_get(tmp))
+            tmp_host = fetch_global(tmp)
             v_nonzero, product_zero = single.final_check(
                 v_host, tmp_host, self.n_eff, self.m_eff, verbose)
             if product_zero is False:

@@ -19,11 +19,12 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from block_lanczos_tpu.models import lanczos_gf2 as lg
-from block_lanczos_tpu.models.lanczos import SolveResult
+from block_lanczos_tpu.models.lanczos import SolveResult, fit_rows
 from block_lanczos_tpu.ops import gf2
 from block_lanczos_tpu.ops.gf2 import WORD, words
 from block_lanczos_tpu.ops.gfp import u32
 from block_lanczos_tpu.parallel.mesh import COLS_AXIS, ROWS_AXIS
+from block_lanczos_tpu.parallel.multihost import fetch_global, put_global
 from block_lanczos_tpu.parallel.sharding import _band_size
 from block_lanczos_tpu.utils.mmio import COOMatrix
 from block_lanczos_tpu.utils.rng import Xoshiro256Plus
@@ -137,7 +138,7 @@ def partition_matrix_gf2(M: COOMatrix, right: bool, mesh: jax.sharding.Mesh,
         def stack(xs):
             arr = np.stack(xs)
             arr = arr.reshape((R, C) + arr.shape[1:])
-            return jax.device_put(arr, nnz_sharding)
+            return put_global(arr, nnz_sharding)
 
         return _GF2StackedDir(ell=ell, cols=stack(cols_l),
                               valid=stack(val_l), spill_out=stack(so_l),
@@ -235,7 +236,7 @@ class ShardedBlockLanczosGF2:
         bits = self._rng.fill_mod(self.n_eff * self.n, 2)
         block = np.zeros((self.np_rows, self.n), np.uint32)
         block[:self.n_eff] = bits.reshape(self.n_eff, self.n)
-        return jax.device_put(gf2.pack_bits_np(block), self._vec_sharding)
+        return put_global(gf2.pack_bits_np(block), self._vec_sharding)
 
     def _step_args(self):
         return (self.ops.first.leaves(), self.ops.second.leaves())
@@ -252,13 +253,13 @@ class ShardedBlockLanczosGF2:
         """
         if resume_state is None:
             v = self.initial_block()
-            p_blk = jax.device_put(np.zeros((self.np_rows, self.W), np.uint32),
+            p_blk = put_global(np.zeros((self.np_rows, self.W), np.uint32),
                                    self._vec_sharding)
             n_iterations = 0
         else:
-            v = jax.device_put(np.asarray(resume_state["v"]),
+            v = put_global(fit_rows(resume_state["v"], self.np_rows),
                                self._vec_sharding)
-            p_blk = jax.device_put(np.asarray(resume_state["p"]),
+            p_blk = put_global(fit_rows(resume_state["p"], self.np_rows),
                                    self._vec_sharding)
             n_iterations = int(resume_state["iteration"])
         if verbose:
@@ -277,18 +278,18 @@ class ShardedBlockLanczosGF2:
         from block_lanczos_tpu.models.lanczos import blocked_solve_loop
         v, p_blk, tmp, n_iterations, stopped_by_limit, start = \
             blocked_solve_loop(
-                lambda v, p, k: self._multi_step(*args, v, p, jnp.uint32(k)),
+                lambda v, p, k: self._multi_step(*args, v, p, np.uint32(k)),
                 v, p_blk, n_iterations, stop_after, self.sync_every,
                 on_iteration=on_iteration,
                 inv_fail=inv_fail if self.check_invariants else None,
                 solver=self)
         elapsed = time.time() - start
-        v_bits = gf2.unpack_bits_np(np.asarray(jax.device_get(v)), self.n)
+        v_bits = gf2.unpack_bits_np(fetch_global(v), self.n)
         v_nonzero = product_zero = None
         vtM = None
         if not stopped_by_limit:
             tmp_bits = gf2.unpack_bits_np(
-                np.asarray(jax.device_get(tmp)), self.n)
+                fetch_global(tmp), self.n)
             v_nonzero = bool((v_bits[:self.n_eff] != 0).any())
             product_zero = bool((tmp_bits[:self.m_eff] == 0).all())
             if not product_zero:

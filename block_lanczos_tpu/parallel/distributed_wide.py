@@ -21,13 +21,14 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from block_lanczos_tpu.models import lanczos_wide as lw
-from block_lanczos_tpu.models.lanczos import SolveResult
+from block_lanczos_tpu.models.lanczos import SolveResult, fit_rows
 from block_lanczos_tpu.ops import gfp_wide as gw
 from block_lanczos_tpu.ops import wide_ops as wo
 from block_lanczos_tpu.ops.gfp import u32
 from block_lanczos_tpu.ops.gfp_wide import GFpWide
 from block_lanczos_tpu.parallel.collectives import psum_mod_wide
 from block_lanczos_tpu.parallel.mesh import COLS_AXIS, ROWS_AXIS
+from block_lanczos_tpu.parallel.multihost import fetch_global, put_global
 from block_lanczos_tpu.parallel.sharding import _band_size
 from block_lanczos_tpu.utils.mmio import COOMatrix
 from block_lanczos_tpu.utils.rng import Xoshiro256Plus
@@ -130,7 +131,7 @@ def partition_matrix_wide(f: GFpWide, M: COOMatrix, right: bool,
         def stack(xs):
             arr = np.stack(xs)
             arr = arr.reshape((R, C) + arr.shape[1:])
-            return jax.device_put(arr, nnz_sharding)
+            return put_global(arr, nnz_sharding)
 
         return _WideStackedDir(ell=ell, cols=stack(cols_l),
                                vals=stack(vals_l), spill_out=stack(so_l),
@@ -229,7 +230,7 @@ class ShardedBlockLanczosWide:
         block = self._rng.fill_mod64(self.n_eff * self.n, self.f.p)
         v0 = np.zeros((self.np_rows, self.n), np.uint64)
         v0[:self.n_eff] = block.reshape(self.n_eff, self.n)
-        return jax.device_put(gw.np_pair(v0.astype(object)),
+        return put_global(gw.np_pair(v0.astype(object)),
                               self._vec_sharding)
 
     def _step_args(self):
@@ -247,14 +248,14 @@ class ShardedBlockLanczosWide:
         """
         if resume_state is None:
             v = self.initial_block()
-            p_blk = jax.device_put(
+            p_blk = put_global(
                 np.zeros((self.np_rows, self.n, 2), np.uint32),
                 self._vec_sharding)
             n_iterations = 0
         else:
-            v = jax.device_put(np.asarray(resume_state["v"]),
+            v = put_global(fit_rows(resume_state["v"], self.np_rows),
                                self._vec_sharding)
-            p_blk = jax.device_put(np.asarray(resume_state["p"]),
+            p_blk = put_global(fit_rows(resume_state["p"], self.np_rows),
                                    self._vec_sharding)
             n_iterations = int(resume_state["iteration"])
         if verbose:
@@ -273,18 +274,18 @@ class ShardedBlockLanczosWide:
         from block_lanczos_tpu.models.lanczos import blocked_solve_loop
         v, p_blk, tmp, n_iterations, stopped_by_limit, start = \
             blocked_solve_loop(
-                lambda v, p, k: self._multi_step(*args, v, p, jnp.uint32(k)),
+                lambda v, p, k: self._multi_step(*args, v, p, np.uint32(k)),
                 v, p_blk, n_iterations, stop_after, self.sync_every,
                 on_iteration=on_iteration,
                 inv_fail=inv_fail if self.check_invariants else None,
                 solver=self)
         elapsed = time.time() - start
-        v_host = gw.np_unpair(np.asarray(jax.device_get(v)))
+        v_host = gw.np_unpair(fetch_global(v))
         v_host64 = v_host.astype(np.uint64)
         v_nonzero = product_zero = None
         vtM = None
         if not stopped_by_limit:
-            tmp_host = gw.np_unpair(np.asarray(jax.device_get(tmp)))
+            tmp_host = gw.np_unpair(fetch_global(tmp))
             v_nonzero, product_zero = lw.final_check(
                 v_host64, tmp_host, self.n_eff, self.m_eff, verbose)
             if product_zero is False:

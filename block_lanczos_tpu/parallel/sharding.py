@@ -125,9 +125,10 @@ def _build_dir(f: GFp, parts, out_dim: int, R: int, C: int,
         srp_l.append(s_rp)
 
     def stack(xs):
+        from block_lanczos_tpu.parallel.multihost import put_global
         arr = np.stack(xs)
         arr = arr.reshape((R, C) + arr.shape[1:])
-        return jax.device_put(arr, nnz_sharding)
+        return put_global(arr, nnz_sharding)
 
     return _StackedDir(ell=ell, seg_safe=seg_safe,
                        cols=stack(cols_l), vals=stack(vals_l),

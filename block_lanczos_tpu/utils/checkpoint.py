@@ -53,9 +53,95 @@ def save_checkpoint(ckpt_dir: str, v, p_blk, iteration: int, elapsed: float,
               flush=True)
 
 
+def save_checkpoint_global(ckpt_dir: str, v, p_blk, iteration: int,
+                           elapsed: float, meta: dict | None = None,
+                           verbose: bool = False):
+    """Checkpoint possibly process-spanning global jax.Arrays.
+
+    Single process: the plain {state.npz + manifest} format.  Multi-process:
+    per-host shard files — each process writes only its addressable shards
+    into a per-iteration step directory (SURVEY.md section 7 step 7:
+    "per-host sharded snapshots ... + manifest"), a cross-process barrier
+    orders every shard write before the root's atomic manifest update, so a
+    crash mid-snapshot leaves the previous manifest pointing at a complete
+    step directory.  Requires a shared checkpoint filesystem (like the
+    reference's root-written text snapshots, mpi/lanczos_modp.c:1413-1451).
+    """
+    import jax
+    if jax.process_count() == 1:
+        save_checkpoint(ckpt_dir, v, p_blk, iteration, elapsed, meta, verbose)
+        return
+    from block_lanczos_tpu.parallel import multihost
+    pid = jax.process_index()
+    step_dir = os.path.join(ckpt_dir, f"step_{int(iteration):09d}")
+    os.makedirs(step_dir, exist_ok=True)
+    payload = {"iteration": np.int64(iteration)}
+    arrays_meta = {}
+    for name, arr in (("v", v), ("p", p_blk)):
+        shards = multihost.addressable_shard_index_data(arr)
+        for t, (idx, data) in enumerate(shards):
+            starts = [0 if s.start is None else int(s.start) for s in idx]
+            payload[f"{name}{t}_data"] = data
+            payload[f"{name}{t}_start"] = np.asarray(starts, np.int64)
+        payload[f"{name}_count"] = np.int64(len(shards))
+        arrays_meta[name] = {"shape": [int(d) for d in arr.shape],
+                             "dtype": str(np.dtype(arr.dtype))}
+    _atomic_write(os.path.join(step_dir, f"shard_{pid}.npz"),
+                  lambda fh: np.savez_compressed(fh, **payload))
+    multihost.barrier(f"ckpt_shards_{iteration}")
+    if pid == 0:
+        manifest = {"iteration": int(iteration), "elapsed": float(elapsed),
+                    "timestamp": time.time(),
+                    "shape": arrays_meta["v"]["shape"],
+                    "step_dir": os.path.basename(step_dir),
+                    "shard_files": int(jax.process_count()),
+                    "arrays": arrays_meta}
+        manifest.update(meta or {})
+        _atomic_write(os.path.join(ckpt_dir, MANIFEST),
+                      lambda fh: fh.write(
+                          json.dumps(manifest, indent=1).encode()))
+        # retire superseded step directories (the manifest no longer
+        # references them, so this is safe even if it is interrupted)
+        for d in os.listdir(ckpt_dir):
+            if (d.startswith("step_") and d != os.path.basename(step_dir)
+                    and os.path.isdir(os.path.join(ckpt_dir, d))):
+                import shutil
+                shutil.rmtree(os.path.join(ckpt_dir, d), ignore_errors=True)
+        if verbose:
+            print(f"\n    >> checkpoint at iteration {iteration} "
+                  f"({jax.process_count()} host shards) -> {ckpt_dir}",
+                  flush=True)
+
+
+def _load_sharded(ckpt_dir: str, manifest: dict) -> dict:
+    """Reassemble the global {v, p} from per-host shard files."""
+    step_dir = os.path.join(ckpt_dir, manifest["step_dir"])
+    state = {}
+    for name, am in manifest["arrays"].items():
+        state[name] = np.zeros(tuple(am["shape"]), np.dtype(am["dtype"]))
+    for k in range(int(manifest["shard_files"])):
+        with np.load(os.path.join(step_dir, f"shard_{k}.npz")) as z:
+            if int(z["iteration"]) != int(manifest["iteration"]):
+                raise ValueError(
+                    f"torn checkpoint: shard_{k} is at iteration "
+                    f"{int(z['iteration'])}, manifest at "
+                    f"{int(manifest['iteration'])}")
+            for name in manifest["arrays"]:
+                for t in range(int(z[f"{name}_count"])):
+                    data = z[f"{name}{t}_data"]
+                    start = z[f"{name}{t}_start"]
+                    sl = tuple(slice(int(s), int(s) + int(d))
+                               for s, d in zip(start, data.shape))
+                    state[name][sl] = data
+    state.update(manifest)
+    return state
+
+
 def load_checkpoint(ckpt_dir: str) -> dict:
     with open(os.path.join(ckpt_dir, MANIFEST)) as fh:
         manifest = json.load(fh)
+    if "step_dir" in manifest:  # per-host sharded format
+        return _load_sharded(ckpt_dir, manifest)
     with np.load(os.path.join(ckpt_dir, ARRAYS)) as z:
         state = {"v": z["v"], "p": z["p"]}
     state.update(manifest)
@@ -107,11 +193,20 @@ class CheckpointManager:
     def maybe_save(self, iteration: int, v, p_blk, start_time: float,
                    extra_time: float = 0.0):
         now = time.time()
-        if now - self._last < self.interval_s:
+        due = now - self._last >= self.interval_s
+        # Multi-process: the save is collective (every process writes its
+        # shards, then a barrier), so the wall-clock decision must be
+        # identical everywhere — take the root's verdict.
+        import jax
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            due = bool(multihost_utils.broadcast_one_to_all(
+                np.asarray(due)))
+        if not due:
             return False
         self._last = now
-        save_checkpoint(self.ckpt_dir, v, p_blk, iteration,
-                        (now - start_time) + extra_time, self.meta,
-                        self.verbose)
+        save_checkpoint_global(self.ckpt_dir, v, p_blk, iteration,
+                               (now - start_time) + extra_time, self.meta,
+                               self.verbose)
         self.saves += 1
         return True

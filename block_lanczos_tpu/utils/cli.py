@@ -71,6 +71,19 @@ def build_parser() -> argparse.ArgumentParser:
                     help="iterations per host sync (device-side loop size); "
                          "default: adaptive doubling up to 1024. Use 1 for "
                          "exact per-iteration callbacks")
+    # multi-host (multi-controller) execution — the mpiexec analogue: launch
+    # one copy of this CLI per host with the same coordinator address
+    # (reference: mpi/lanczos_modp.c:505-566, README.md:39-46)
+    ap.add_argument("--coordinator", metavar="HOST:PORT", default=None,
+                    help="multi-host coordinator address; launch one process "
+                         "per host with identical flags")
+    ap.add_argument("--num-processes", type=int, default=1,
+                    help="total number of participating processes")
+    ap.add_argument("--process-id", type=int, default=0,
+                    help="this process's rank in [0, num-processes)")
+    ap.add_argument("--local-devices", type=int, default=None,
+                    help="force N virtual CPU devices in this process "
+                         "(multi-host testing without TPUs)")
     return ap
 
 
@@ -88,6 +101,12 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", env_plat)
 
     args = build_parser().parse_args(argv)
+    if args.coordinator is not None:
+        from block_lanczos_tpu.parallel.multihost import init_distributed
+        init_distributed(args.coordinator, args.num_processes,
+                         args.process_id,
+                         local_device_count=args.local_devices)
+    is_root = jax.process_index() == 0
     if args.output_file and args.stop_after > 0:
         print("--stop-after and --output-file are mutually exclusive",
               file=sys.stderr)
@@ -100,11 +119,12 @@ def main(argv=None) -> int:
     right = args.right and not args.left
 
     try:
-        M = mmio.load_mtx(args.matrix, args.prime, verbose=True)
+        M = mmio.load_mtx(args.matrix, args.prime, verbose=is_root)
     except (OSError, ValueError) as e:
         print(f"cannot load matrix {args.matrix}: {e}", file=sys.stderr)
         return 1
-    print(f"  - {M.nrows} x {M.ncols} with {M.nnz} nz", file=sys.stderr)
+    if is_root:
+        print(f"  - {M.nrows} x {M.ncols} with {M.nnz} nz", file=sys.stderr)
 
     field = ("wide" if wide
              else "gf2" if args.prime == 2 and args.n % 32 == 0
@@ -127,17 +147,19 @@ def main(argv=None) -> int:
         except ckpt.CheckpointMismatch as e:
             print(e, file=sys.stderr)
             return 1
-        if resume_state.get("matrix") not in (None, args.matrix):
+        if is_root and resume_state.get("matrix") not in (None, args.matrix):
             print(f"  - note: checkpoint was written for matrix path "
                   f"{resume_state['matrix']!r} (shape/nnz match; continuing)",
                   file=sys.stderr)
         extra_time = float(resume_state.get("elapsed", 0.0))
-        print(f"Resuming from iteration {resume_state['iteration']} "
-              f"({args.checkpoint_dir})")
+        if is_root:
+            print(f"Resuming from iteration {resume_state['iteration']} "
+                  f"({args.checkpoint_dir})")
 
     if wide:
-        print("  - wide field (p > 2^30): two-limb arithmetic",
-              file=sys.stderr)
+        if is_root:
+            print("  - wide field (p > 2^30): two-limb arithmetic",
+                  file=sys.stderr)
         if args.single:
             from block_lanczos_tpu.models.lanczos_wide import BlockLanczosWide
             solver = BlockLanczosWide(M, n=args.n, right=right,
@@ -156,8 +178,9 @@ def main(argv=None) -> int:
                 sync_every=args.sync_every)
     elif args.prime == 2 and args.n % 32 == 0:
         # the factorization case: bitsliced GF(2), 32 elements per word
-        print("  - GF(2) bitsliced path (p = 2, n % 32 == 0)",
-              file=sys.stderr)
+        if is_root:
+            print("  - GF(2) bitsliced path (p = 2, n % 32 == 0)",
+                  file=sys.stderr)
         if args.single:
             from block_lanczos_tpu.models.lanczos_gf2 import BlockLanczosGF2
             solver = BlockLanczosGF2(M, n=args.n, right=right,
@@ -202,29 +225,34 @@ def main(argv=None) -> int:
 
     def on_iteration(slv, iteration, v, p_blk, start):
         verb.n_iterations = iteration - 1
-        verb.tick(start)
-        if manager is not None:
+        if is_root:
+            verb.tick(start)
+        if manager is not None:  # collective in multi-process mode
             manager.maybe_save(iteration, v, p_blk, start,
                                extra_time=extra_time)
 
-    res = solver.solve(stop_after=args.stop_after, verbose=True,
+    res = solver.solve(stop_after=args.stop_after, verbose=is_root,
                        on_iteration=on_iteration, resume_state=resume_state)
-    print()
+    if is_root:
+        print()
     kernel, n_cols = res.kernel, args.n
     if args.salvage and res.product_zero is False and res.vtM is not None:
         from block_lanczos_tpu.utils.salvage import salvage_kernel
         salvaged = salvage_kernel(res.kernel, res.vtM, args.prime)
-        print(f"Salvage: recovered {salvaged.shape[1]} / {args.n} verified "
-              "kernel vectors from the partially-converged block")
+        if is_root:
+            print(f"Salvage: recovered {salvaged.shape[1]} / {args.n} "
+                  "verified kernel vectors from the partially-converged "
+                  "block")
         if salvaged.shape[1] == 0:
             print("Salvage found no kernel vectors", file=sys.stderr)
             return 1
         kernel, n_cols = salvaged, salvaged.shape[1]
     if args.output_file:
-        print(f"Saving result in {args.output_file}")
-        mmio.write_kernel_mtx(args.output_file, kernel,
-                              solver.n_eff, n_cols)
-    else:
+        if is_root:
+            print(f"Saving result in {args.output_file}")
+            mmio.write_kernel_mtx(args.output_file, kernel,
+                                  solver.n_eff, n_cols)
+    elif is_root:
         print("Not saving result (no --output given)")
     return 0
 

@@ -1,0 +1,123 @@
+"""Multi-host (multi-controller) execution tests.
+
+Spawns REAL separate processes that join a jax.distributed coordinator and
+solve over a process-spanning CPU mesh — the TPU-native equivalent of the
+reference's mpiexec runs (reference: mpi/lanczos_modp.c:505-566 grid init,
+README.md:39-46).  Golden parity: the 2-process x 4-device kernel must be
+byte-identical to the single-process result (exact mod-p arithmetic makes
+this deterministic for ANY process/device split).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from block_lanczos_tpu.utils import checkpoint as ckpt
+from block_lanczos_tpu.utils import mmio
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _run_procs(num_processes: int, local_devices: int, common_args: list,
+               timeout: float = 420.0):
+    """Launch one CLI process per rank against a shared coordinator."""
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)  # --local-devices supplies the device count
+    procs = []
+    for pid in range(num_processes):
+        argv = [sys.executable, "-m", "block_lanczos_tpu.utils.cli",
+                "--coordinator", f"127.0.0.1:{port}",
+                "--num-processes", str(num_processes),
+                "--process-id", str(pid),
+                "--local-devices", str(local_devices)] + common_args
+        procs.append(subprocess.Popen(argv, cwd=REPO, env=env,
+                                      stdout=subprocess.PIPE,
+                                      stderr=subprocess.STDOUT, text=True))
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"rank failed (rc={p.returncode}):\n{out}"
+    return outs
+
+
+@pytest.mark.slow
+def test_two_process_golden_parity(tmp_path):
+    """2 processes x 4 CPU devices: kernel byte-identical to the golden."""
+    mtx = os.path.join(GOLDEN, "left_p65537_n4.mtx")
+    out = str(tmp_path / "k_mp.mtx")
+    _run_procs(2, 4, ["--matrix", mtx, "--prime", "65537", "--n", "4",
+                      "--devices", "8", "--output-file", out, "--no-checks"])
+    with open(out, "rb") as f:
+        got = f.read()
+    with open(os.path.join(GOLDEN, "left_p65537_n4.kernel.mtx"), "rb") as f:
+        ref = f.read()
+    assert got == ref
+
+
+@pytest.mark.slow
+def test_two_process_2d_grid_and_checkpoint_resume(tmp_path):
+    """2 processes on a 2x4 grid, per-host sharded checkpoint, resume across
+    processes; final kernel matches the golden byte-for-byte."""
+    mtx = os.path.join(GOLDEN, "left_p65537_n4.mtx")
+    ckdir = str(tmp_path / "ck")
+    # phase 1: stop early with aggressive checkpointing
+    _run_procs(2, 4, ["--matrix", mtx, "--prime", "65537", "--n", "4",
+                      "--grid", "2", "4", "--stop-after", "6",
+                      "--sync-every", "2", "--checkpoint", "0",
+                      "--checkpoint-dir", ckdir, "--no-checks"])
+    state = ckpt.load_checkpoint(ckdir)
+    assert state["iteration"] > 0
+    assert state["shard_files"] == 2          # per-host shard format
+    assert state["field"] == "narrow"
+    # both processes contributed shard files
+    step_dir = os.path.join(ckdir, state["step_dir"])
+    assert sorted(os.listdir(step_dir)) == ["shard_0.npz", "shard_1.npz"]
+    # phase 2: resume with 2 processes to completion
+    out = str(tmp_path / "k_resume.mtx")
+    _run_procs(2, 4, ["--matrix", mtx, "--prime", "65537", "--n", "4",
+                      "--grid", "2", "4", "--load-checkpoint",
+                      "--checkpoint-dir", ckdir,
+                      "--output-file", out, "--no-checks"])
+    _, _, got = mmio.read_array_mtx(out)
+    _, _, ref = mmio.read_array_mtx(
+        os.path.join(GOLDEN, "left_p65537_n4.kernel.mtx"))
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.slow
+def test_sharded_checkpoint_resumes_single_process(tmp_path):
+    """A checkpoint written by 2 processes resumes in ONE process (mesh-shape
+    independence of the snapshot: global arrays, not rank-local state)."""
+    mtx = os.path.join(GOLDEN, "left_p65537_n4.mtx")
+    ckdir = str(tmp_path / "ck")
+    _run_procs(2, 4, ["--matrix", mtx, "--prime", "65537", "--n", "4",
+                      "--devices", "8", "--stop-after", "6",
+                      "--sync-every", "2", "--checkpoint", "0",
+                      "--checkpoint-dir", ckdir, "--no-checks"])
+    from block_lanczos_tpu.models.lanczos import BlockLanczos
+    M = mmio.load_mtx(mtx, 65537)
+    state = ckpt.load_checkpoint(ckdir)
+    resumed = BlockLanczos(M, n=4).solve(resume_state=state)
+    full = BlockLanczos(M, n=4).solve()
+    assert resumed.iterations == full.iterations
+    np.testing.assert_array_equal(resumed.kernel, full.kernel)
