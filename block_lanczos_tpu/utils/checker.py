@@ -9,8 +9,9 @@ as the reference's standalone checker binary
   2. y = x^T * M (or M * x with --right) is exactly zero mod p,
 
 with the matrix STREAMED from disk in chunks (never materialized).  All
-arithmetic is exact host NumPy (u64 intermediates; p < 2^30 so products and
-one addition fit).  Exit code 0 + "OK" on success, like the reference.
+arithmetic is exact host NumPy: narrow primes (p < 2^30) use u64 products,
+wide primes (p < 2^62) a vectorized two-limb Montgomery multiply.  Exit
+code 0 + "OK" on success, like the reference.
 """
 
 from __future__ import annotations
@@ -25,6 +26,54 @@ from block_lanczos_tpu.utils import mmio
 
 class CheckFailure(Exception):
     pass
+
+
+# ---------------------------------------------------------------------------
+# Exact wide-prime (p < 2^62) host arithmetic: two-limb u64, Montgomery R=2^64
+# ---------------------------------------------------------------------------
+# Independent NumPy re-derivation of the published Montgomery recipe (CIOS on
+# 32-bit half-words); deliberately NOT imported from ops/gfp_wide.py so the
+# checker shares no arithmetic code with the solver it audits.  NumPy uint64
+# ops wrap mod 2^64, which is exactly the ring Montgomery reduction needs.
+
+_M32 = np.uint64(0xFFFFFFFF)
+
+
+def _mul64_128(a, b):
+    """u64 x u64 -> (lo, hi) exact 128-bit product, vectorized."""
+    a0, a1 = a & _M32, a >> np.uint64(32)
+    b0, b1 = b & _M32, b >> np.uint64(32)
+    ll, lh, hl = a0 * b0, a0 * b1, a1 * b0
+    t = (ll >> np.uint64(32)) + (lh & _M32) + (hl & _M32)
+    lo = (ll & _M32) | ((t & _M32) << np.uint64(32))
+    hi = a1 * b1 + (lh >> np.uint64(32)) + (hl >> np.uint64(32)) \
+        + (t >> np.uint64(32))
+    return lo, hi
+
+
+class _WideField:
+    """Montgomery constants + vectorized mod-p products for odd p < 2^62."""
+
+    def __init__(self, p: int):
+        assert 2 < p < (1 << 62) and p % 2 == 1
+        self.p = np.uint64(p)
+        self.p_int = int(p)
+        R = 1 << 64
+        self.pprime = np.uint64((-pow(p, -1, R)) % R)  # -p^-1 mod 2^64
+        self.r2 = np.uint64((R * R) % p)               # to-Montgomery factor
+
+    def mont_mul(self, a, b):
+        """a*b*R^-1 mod p (inputs < p, output < p), vectorized u64."""
+        t_lo, t_hi = _mul64_128(a, b)
+        m = t_lo * self.pprime                 # wraps: m = t_lo * p' mod 2^64
+        u_lo, u_hi = _mul64_128(m, self.p)
+        # t + u has zero low word by construction; carry is 1 unless lo == 0
+        r = t_hi + u_hi + (t_lo != 0)
+        return np.where(r >= self.p, r - self.p, r)
+
+    def mulmod(self, a, b):
+        """a*b mod p exactly (both < p < 2^62), via a Montgomery round-trip."""
+        return self.mont_mul(self.mont_mul(a, np.uint64(self.r2)), b)
 
 
 def check_kernel_block(matrix_path: str, x: np.ndarray, prime: int,
@@ -50,17 +99,31 @@ def check_kernel_block(matrix_path: str, x: np.ndarray, prime: int,
 
     n = x.shape[1]
     if prime > 0x3FFFFFDD:
-        # wide prime: products can exceed u64 — exact Python-int arithmetic
-        xo = x.astype(object)
-        y = np.zeros((ncols, n), dtype=object)
-        p_int = int(prime)
+        # wide prime (p < 2^62): products exceed u64, so run them through a
+        # vectorized two-limb Montgomery multiply; accumulate each chunk's
+        # contributions as split 32-bit halves (lo sums < 2^52, hi < 2^50 at
+        # the 2^20 chunk size — both exact in u64) and fold mod p per chunk.
+        f = _WideField(int(prime))
+        x64 = x.astype(np.uint64)
+        xm = f.mont_mul(x64, f.r2)  # x in Montgomery form, once
+        y = np.zeros((ncols, n), np.uint64)
+        c32m = np.uint64(((1 << 32) << 64) % f.p_int)  # to_mont(2^32)
+        p64 = f.p
+        sub = 1 << 16  # small working set: ~15 u64 temporaries stay in cache
         for bi, bj, bx in mmio.iter_mtx_triplets(matrix_path):
             if right:
                 bi, bj = bj, bi
-            vv = (bx.astype(object)) % p_int
-            contrib = (vv[:, None] * xo[bi]) % p_int
-            np.add.at(y, bj, contrib)
-            y %= p_int
+            acc_lo = np.zeros((ncols, n), np.uint64)
+            acc_hi = np.zeros((ncols, n), np.uint64)
+            for s in range(0, len(bx), sub):
+                vv = (bx[s:s + sub] % np.int64(prime)).astype(np.uint64)
+                contrib = f.mont_mul(vv[:, None], xm[bi[s:s + sub]])
+                np.add.at(acc_lo, bj[s:s + sub], contrib & _M32)
+                np.add.at(acc_hi, bj[s:s + sub],
+                          contrib >> np.uint64(32))
+            for t in (f.mont_mul(acc_hi % p64, c32m), acc_lo % p64):
+                y = y + t
+                y = np.where(y >= p64, y - p64, y)
     else:
         x64 = x.astype(np.uint64)
         y = np.zeros((ncols, n), np.uint64)

@@ -171,3 +171,63 @@ def test_cross_field_fuzz_narrow_vs_wide(p):
     rw = BlockLanczosWide(Mw, n=n, check_invariants=False).solve(stop_after=9)
     # compare the iterate after 9 steps (stopped runs return v as-is)
     np.testing.assert_array_equal(rn.kernel.astype(np.uint64), rw.kernel)
+
+
+def test_wide_checker_limb_math_vs_oracle(tmp_path):
+    """The checker's two-limb Montgomery y = x^T M must equal an exact
+    object-int evaluation, including negative raw file values (which the
+    MatrixMarket format allows and the reference reduces mod p —
+    reference: sequential/checker_modp.c:163-196)."""
+    p = 4611686018427387847  # largest prime < 2^62
+    rng = np.random.default_rng(5)
+    nr, nc, nnz = 70, 50, 400
+    i = rng.integers(0, nr, size=nnz)
+    j = rng.integers(0, nc, size=nnz)
+    x = rng.integers(-(1 << 62), 1 << 62, size=nnz).astype(object)
+    mtx = str(tmp_path / "m.mtx")
+    with open(mtx, "w") as fh:
+        fh.write("%%MatrixMarket matrix coordinate integer general\n")
+        fh.write(f"{nr} {nc} {nnz}\n")
+        for a, b, c in zip(i, j, x):
+            fh.write(f"{a+1} {b+1} {c}\n")
+    xb = ((rng.integers(0, 1 << 32, size=(nr, 3)).astype(object) << 32)
+          | rng.integers(0, 1 << 32, size=(nr, 3)).astype(object)) % p
+    # oracle: exact object-int y
+    y = np.zeros((nc, 3), dtype=object)
+    for a, b, c in zip(i, j, x):
+        y[b] = (y[b] + (int(c) % p) * xb[a]) % p
+    try:
+        checker.check_kernel_block(mtx, np.asarray(xb, dtype=np.uint64), p)
+        failed = None
+    except checker.CheckFailure as e:
+        failed = str(e)
+    if (y != 0).any():
+        # the checker reports the FIRST nonzero y entry; verify it agrees
+        ii, jj = np.argwhere(y != 0)[0]
+        assert failed == f"KO: y[{ii}, {jj}] == {y[ii, jj]} != 0"
+    else:
+        assert failed is None
+
+
+def test_wide_checker_accepts_true_kernel(tmp_path):
+    """A genuinely valid wide kernel passes (values near the 2^62 cap)."""
+    p = 4611686018427387847
+    nr, nc = 8, 5
+    # build M with a known left-kernel vector k: rows 6,7 = -(k0 r0 + ...)
+    rng = np.random.default_rng(9)
+    rows = rng.integers(1, p, size=(6, nc), dtype=np.uint64).astype(object)
+    k = rng.integers(1, p, size=6, dtype=np.uint64).astype(object)
+    comb = (k[:, None] * rows).sum(axis=0) % p
+    last = (-comb) % p
+    M = np.vstack([rows, last[None, :], np.zeros((1, nc), dtype=object)])
+    kvec = np.concatenate([k, np.ones(1, dtype=object),
+                           np.zeros(1, dtype=object)])
+    ii, jj = np.nonzero(M)
+    mtx = str(tmp_path / "m.mtx")
+    with open(mtx, "w") as fh:
+        fh.write("%%MatrixMarket matrix coordinate integer general\n")
+        fh.write(f"{nr} {nc} {len(ii)}\n")
+        for a, b in zip(ii, jj):
+            fh.write(f"{a+1} {b+1} {M[a, b]}\n")
+    assert checker.check_kernel_block(
+        mtx, np.asarray(kvec, dtype=np.uint64)[:, None], p) is True
