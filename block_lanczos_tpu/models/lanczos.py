@@ -295,12 +295,13 @@ class BlockLanczos:
     def __init__(self, M: COOMatrix, n: int = 1, right: bool = False,
                  pad_multiple: int = 8, check_invariants: bool = True,
                  seed=None, layout: str = "hybrid",
-                 sync_every: int | None = None):
+                 sync_every: int | None = None, delta: bool = True):
         self.f = GFp.make(M.prime)
         self.n = int(n)
         self.right = bool(right)
         self.check_invariants = check_invariants
-        self.sp = SpMatrix.from_coo(self.f, M, layout=layout)
+        self.sp = SpMatrix.from_coo(self.f, M, layout=layout, delta=delta,
+                                    n=self.n)
         # effective dimensions: the kernel vector lives on N_eff
         self.n_eff = M.ncols if right else M.nrows
         self.m_eff = M.nrows if right else M.ncols

@@ -150,12 +150,20 @@ class SpMatrix:
 
     @staticmethod
     def from_coo(f: GFp, M: COOMatrix, chunk: int = DEFAULT_CHUNK,
-                 layout: str = "hybrid") -> "SpMatrix":
+                 layout: str = "hybrid", delta: bool = True,
+                 n: int = 1) -> "SpMatrix":
+        """n is the block width the operator will be applied at — it sizes
+        the gather table (in_dim x n u32) for the input-banding policy."""
         if layout == "hybrid":
-            fwd = make_hybrid_op(f, M.i, M.j, M.x, M.nrows, M.ncols,
-                                 chunk=chunk)
-            bwd = make_hybrid_op(f, M.j, M.i, M.x, M.ncols, M.nrows,
-                                 chunk=chunk)
+            def mk(oi, ii, out_dim, in_dim):
+                nb = band_count(in_dim, n)
+                if nb > 1:
+                    return make_banded_op(f, oi, ii, M.x, out_dim, in_dim,
+                                          nb, chunk=chunk, delta=delta)
+                return make_hybrid_op(f, oi, ii, M.x, out_dim, in_dim,
+                                      chunk=chunk, delta=delta)
+            fwd = mk(M.i, M.j, M.nrows, M.ncols)
+            bwd = mk(M.j, M.i, M.ncols, M.nrows)
         elif layout == "coo":
             fwd = make_sparse_op(f, M.i, M.j, M.x, M.nrows, M.ncols, chunk)
             bwd = make_sparse_op(f, M.j, M.i, M.x, M.ncols, M.nrows, chunk)
@@ -251,24 +259,35 @@ def _spmv_scan(f: GFp, op: SparseOp, x, out_rows: int):
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class HybridOp:
-    """y[r] = sum_k vals[r,k] * x[cols[r,k]]  (+ spill)  exactly mod p."""
+    """y[r] = sum_k vals[r,k] * x[cols[r,k]]  (+ spill)  exactly mod p.
+
+    Column storage comes in two interchangeable encodings:
+      * absolute: `cols` is the (out_pad, L) int32 column slab,
+      * delta:    `cols` is None; each row's slab entries are column-sorted
+        and stored as `col0` (first column, int32) plus `dcols` (u16 gaps,
+        (out_pad, L-1)).  Halves the index-stream bytes — on a
+        bandwidth-bound SpMV, bytes are time (PERF.md "the gather wall").
+    Entries whose gap exceeds 65535 live in the spill sidecar instead.
+    """
     out_dim: int
     in_dim: int
     nnz: int
     ell: int               # slab width L (static)
-    cols: jax.Array        # (out_pad, L) int32
+    cols: jax.Array | None  # (out_pad, L) int32, or None in delta mode
     vals: jax.Array        # (out_pad, L) uint32, Montgomery form
     spill: SparseOp        # possibly empty (nnz == 0)
+    col0: jax.Array | None = None   # (out_pad,) int32 (delta mode)
+    dcols: jax.Array | None = None  # (out_pad, L-1) uint16 (delta mode)
 
     def tree_flatten(self):
-        return ((self.cols, self.vals, self.spill),
+        return ((self.cols, self.vals, self.spill, self.col0, self.dcols),
                 (self.out_dim, self.in_dim, self.nnz, self.ell))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        cols, vals, spill = children
+        cols, vals, spill, col0, dcols = children
         out_dim, in_dim, nnz, ell = aux
-        return cls(out_dim, in_dim, nnz, ell, cols, vals, spill)
+        return cls(out_dim, in_dim, nnz, ell, cols, vals, spill, col0, dcols)
 
 
 def choose_ell_width(counts: np.ndarray, spill_cost: float = 3.0) -> int:
@@ -311,14 +330,72 @@ def _within_row_positions(sorted_out_idx: np.ndarray) -> np.ndarray:
     return idx - run_start
 
 
+class SlabArrays(tuple):
+    """(cols, col0, dcols, vals) NumPy slab arrays; absolute mode has
+    col0 is None is dcols, delta mode has cols is None."""
+    __slots__ = ()
+
+    def __new__(cls, cols, col0, dcols, vals):
+        return tuple.__new__(cls, (cols, col0, dcols, vals))
+
+    cols = property(lambda s: s[0])
+    col0 = property(lambda s: s[1])
+    dcols = property(lambda s: s[2])
+    vals = property(lambda s: s[3])
+    delta = property(lambda s: s[0] is None)
+
+
+_DELTA_MAX = 1 << 16
+
+
+def _delta_encode_slab(cols2d: np.ndarray, rvals2d: np.ndarray):
+    """Column-sort each ELL row and re-encode columns as first-absolute +
+    u16 gaps.  Entries with gaps >= 2^16 are evicted for the spill sidecar.
+
+    Returns (col0, dcols, vals_sorted, (ev_rows, ev_cols, ev_vals)).
+    Zero-valued slots are treated as empty (their products contribute 0).
+    """
+    out_pad, ell = cols2d.shape
+    occ = rvals2d != 0
+    key = np.where(occ, cols2d.astype(np.int64), np.int64(1) << 40)
+    order = np.argsort(key, axis=1, kind="stable")
+    cs = np.take_along_axis(cols2d, order, axis=1)
+    vs = np.take_along_axis(rvals2d, order, axis=1)
+    occ = vs != 0
+    col0 = np.where(occ[:, 0], cs[:, 0], 0).astype(np.int32)
+    dcols = np.zeros((out_pad, max(ell - 1, 0)), np.uint16)
+    prev = col0.astype(np.int64)
+    rows = np.arange(out_pad, dtype=np.int64)
+    ev_r, ev_c, ev_v = [], [], []
+    for k in range(1, ell):
+        cur = cs[:, k].astype(np.int64)
+        gap = cur - prev  # >= 0: occupied slots ascend within each row
+        ok = occ[:, k] & (gap < _DELTA_MAX)
+        bad = occ[:, k] & ~ok
+        if bad.any():
+            ev_r.append(rows[bad])
+            ev_c.append(cs[bad, k].astype(np.int64))
+            ev_v.append(vs[bad, k].copy())
+            vs[bad, k] = 0
+        dcols[:, k - 1] = np.where(ok, gap, 0).astype(np.uint16)
+        prev = np.where(ok, cur, prev)
+    cat = (lambda xs, dt: np.concatenate(xs) if xs
+           else np.zeros(0, dt))
+    return col0, dcols, vs, (cat(ev_r, np.int64), cat(ev_c, np.int64),
+                             cat(ev_v, np.uint32))
+
+
 def build_hybrid_arrays(f: GFp, out_idx, in_idx, vals, out_dim: int,
                         out_pad: int, ell: int,
                         chunk: int = DEFAULT_CHUNK,
-                        spill_pad_to: int | None = None, sort: bool = True):
+                        spill_pad_to: int | None = None, sort: bool = True,
+                        delta: bool = True):
     """Host-side construction of the ELL slab + spill COO (NumPy arrays).
 
-    Returns (cols2d, vals2d, spill_tuple, nnz) where spill_tuple is the
-    build_op_arrays output for the overflow entries.
+    Returns (slab, spill_tuple, nnz) where slab is a SlabArrays and
+    spill_tuple is the build_op_arrays output for the overflow entries.
+    With delta=True (default) the column slab is u16-gap encoded unless
+    more than ~1% of slab entries would need eviction (then absolute).
     """
     out_idx = np.asarray(out_idx, np.int64)
     in_idx = np.asarray(in_idx, np.int64)
@@ -351,31 +428,53 @@ def build_hybrid_arrays(f: GFp, out_idx, in_idx, vals, out_dim: int,
             np.zeros(out_dim, np.int64)
     pos = _within_row_positions(out_idx)
 
-    if f.use_mont:
-        vm = ((vals.astype(np.uint64) << 32) % np.uint64(f.p)).astype(np.uint32)
-    else:
-        vm = vals % np.uint32(f.p)
-
     in_slab = pos < ell
     # flat-index fill: ~4x faster than 2D fancy assignment at 50M+ nnz
     flat = (out_idx * ell + pos)[in_slab]
     cols2d = np.zeros(out_pad * ell, np.int32)
-    vals2d = np.zeros(out_pad * ell, np.uint32)
+    rvals2d = np.zeros(out_pad * ell, np.uint32)  # raw values (pre-Montgomery)
     cols2d[flat] = in_idx[in_slab]
-    vals2d[flat] = vm[in_slab]
+    rvals2d[flat] = vals[in_slab]
     cols2d = cols2d.reshape(out_pad, ell)
-    vals2d = vals2d.reshape(out_pad, ell)
+    rvals2d = rvals2d.reshape(out_pad, ell)
 
     sp = ~in_slab
+    sp_o = out_idx[sp].astype(np.int64)
+    sp_i = in_idx[sp].astype(np.int64)
+    sp_v = vals[sp]
+
+    def to_mont2d(rv):
+        if f.use_mont:  # val * R mod p (fits u64: val < 2^30, R = 2^32)
+            return ((rv.astype(np.uint64) << 32)
+                    % np.uint64(f.p)).astype(np.uint32)
+        return rv % np.uint32(f.p)
+
+    slab, evicted = None, 0
+    if delta and ell > 0:
+        col0, dcols, vs, (ev_r, ev_c, ev_v) = _delta_encode_slab(
+            cols2d, rvals2d)
+        slab_nnz = int(in_slab.sum())
+        if len(ev_v) <= max(64, slab_nnz // 100):
+            slab = SlabArrays(None, col0, dcols, to_mont2d(vs))
+            evicted = len(ev_v)
+            if evicted:
+                sp_o = np.concatenate([sp_o, ev_r])
+                sp_i = np.concatenate([sp_i, ev_c])
+                sp_v = np.concatenate([sp_v, ev_v])
+    if slab is None:
+        slab = SlabArrays(cols2d, None, None, to_mont2d(rvals2d))
+
     spill_tuple = build_op_arrays(
-        f, out_idx[sp].astype(np.int32), in_idx[sp].astype(np.int32),
-        vals[sp], out_dim, chunk=chunk, pad_to=spill_pad_to, sort=False)
-    return cols2d, vals2d, spill_tuple, nnz
+        f, sp_o.astype(np.int32), sp_i.astype(np.int32),
+        sp_v, out_dim, chunk=chunk, pad_to=spill_pad_to,
+        sort=evicted > 0)  # appended evictions break the existing row order
+    return slab, spill_tuple, nnz
 
 
 def make_hybrid_op(f: GFp, out_idx, in_idx, vals, out_dim: int, in_dim: int,
                    out_pad: int | None = None, ell: int | None = None,
-                   chunk: int = DEFAULT_CHUNK) -> HybridOp:
+                   chunk: int = DEFAULT_CHUNK,
+                   delta: bool = True) -> HybridOp:
     if out_pad is None:
         out_pad = out_dim
     if ell is None:
@@ -383,16 +482,19 @@ def make_hybrid_op(f: GFp, out_idx, in_idx, vals, out_dim: int, in_dim: int,
                               minlength=out_dim)
                   if len(vals) else np.zeros(out_dim, np.int64))
         ell = choose_ell_width(counts)
-    cols2d, vals2d, spill_t, nnz = build_hybrid_arrays(
-        f, out_idx, in_idx, vals, out_dim, out_pad, ell, chunk=chunk)
+    slab, spill_t, nnz = build_hybrid_arrays(
+        f, out_idx, in_idx, vals, out_dim, out_pad, ell, chunk=chunk,
+        delta=delta)
     s_o, s_i, s_v, s_nnz, s_rp, s_safe = spill_t
     spill = SparseOp(out_dim=out_dim, in_dim=in_dim, nnz=s_nnz, chunk=chunk,
                      seg_safe=s_safe, out_idx=jnp.asarray(s_o),
                      in_idx=jnp.asarray(s_i), val_mont=jnp.asarray(s_v),
                      rowptr=jnp.asarray(s_rp))
     return HybridOp(out_dim=out_dim, in_dim=in_dim, nnz=nnz, ell=ell,
-                    cols=jnp.asarray(cols2d), vals=jnp.asarray(vals2d),
-                    spill=spill)
+                    cols=None if slab.delta else jnp.asarray(slab.cols),
+                    vals=jnp.asarray(slab.vals), spill=spill,
+                    col0=jnp.asarray(slab.col0) if slab.delta else None,
+                    dcols=jnp.asarray(slab.dcols) if slab.delta else None)
 
 
 # L-loop unroll limit: beyond this use fori_loop to bound trace size
@@ -404,20 +506,43 @@ def spmv_hybrid(f: GFp, op: HybridOp, x, out_rows: int | None = None):
     if out_rows is None:
         out_rows = op.out_dim
     n = x.shape[1]
-    out_pad = op.cols.shape[0]
-
-    def slab_step(k, y):
-        ck = jax.lax.dynamic_index_in_dim(op.cols.T, k, 0, keepdims=False)
-        vk = jax.lax.dynamic_index_in_dim(op.vals.T, k, 0, keepdims=False)
-        return gfp.modadd(f, y, gfp.mont_mul(f, vk[:, None], x[ck]))
+    out_pad = op.vals.shape[0]
 
     y = jnp.zeros((out_pad, n), u32)
-    if op.ell <= _ELL_UNROLL:
-        for k in range(op.ell):
-            y = gfp.modadd(
-                f, y, gfp.mont_mul(f, op.vals[:, k][:, None], x[op.cols[:, k]]))
+    if op.dcols is not None:
+        # delta encoding: reconstruct the column chain while streaming.
+        # The running base is a single (out_pad,) int32 vector; empty slots
+        # carry gap 0 and value 0, so the chain is correct for short rows.
+        base = op.col0
+
+        def delta_step(k, carry):
+            y, base = carry
+            base = base + jax.lax.dynamic_index_in_dim(
+                op.dcols.T, k - 1, 0, keepdims=False).astype(jnp.int32)
+            vk = jax.lax.dynamic_index_in_dim(op.vals.T, k, 0, keepdims=False)
+            return gfp.modadd(f, y, gfp.mont_mul(f, vk[:, None], x[base])), base
+
+        y = gfp.modadd(f, y, gfp.mont_mul(f, op.vals[:, 0][:, None], x[base]))
+        if op.ell <= _ELL_UNROLL:
+            for k in range(1, op.ell):
+                base = base + op.dcols[:, k - 1].astype(jnp.int32)
+                y = gfp.modadd(
+                    f, y, gfp.mont_mul(f, op.vals[:, k][:, None], x[base]))
+        else:
+            y, base = jax.lax.fori_loop(1, op.ell, delta_step, (y, base))
     else:
-        y = jax.lax.fori_loop(0, op.ell, slab_step, y)
+        def slab_step(k, y):
+            ck = jax.lax.dynamic_index_in_dim(op.cols.T, k, 0, keepdims=False)
+            vk = jax.lax.dynamic_index_in_dim(op.vals.T, k, 0, keepdims=False)
+            return gfp.modadd(f, y, gfp.mont_mul(f, vk[:, None], x[ck]))
+
+        if op.ell <= _ELL_UNROLL:
+            for k in range(op.ell):
+                y = gfp.modadd(
+                    f, y,
+                    gfp.mont_mul(f, op.vals[:, k][:, None], x[op.cols[:, k]]))
+        else:
+            y = jax.lax.fori_loop(0, op.ell, slab_step, y)
 
     if op.spill.nnz != 0:
         y_spill = spmv_block(f, op.spill, x, out_rows=out_pad)
@@ -430,8 +555,97 @@ def spmv_hybrid(f: GFp, op: HybridOp, x, out_rows: int | None = None):
     return y
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class BandedOp:
+    """Input-banded hybrid operator: part b covers x rows [lo_b, hi_b).
+
+    y = sum_b part_b(x[lo_b:hi_b]) exactly mod p.  Banding keeps each slab
+    walk's gather table small: measured on the bench TPU, gathers from a
+    > ~3.2 MB table cost ~2x more per row than from a <= ~1.6 MB slice
+    (the VMEM staging budget), so splitting the 300k-row input of the
+    4.5M-nnz bench matrix into 3 bands cut the SpMV from 36.9 to 22.6 ms.
+    Bit-exact with the monolithic layout: mod-p sums are associative.
+    """
+    out_dim: int
+    in_dim: int
+    nnz: int
+    bounds: tuple          # ((lo, hi), ...) static band bounds
+    parts: tuple           # tuple[HybridOp, ...]
+
+    def tree_flatten(self):
+        return ((self.parts,), (self.out_dim, self.in_dim, self.nnz,
+                                self.bounds))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        (parts,) = children
+        out_dim, in_dim, nnz, bounds = aux
+        return cls(out_dim, in_dim, nnz, bounds, tuple(parts))
+
+
+# Band policy constants, measured on the bench chip (see PERF.md):
+# gather tables above ~3.2 MB pay ~2x per row; ~1.6 MB slices recover the
+# fast path; fewer than 3 bands triggers a slow XLA fusion shape; and bands
+# thinner than ~80k rows (large n) inflate per-band slab padding past the
+# gather savings (n=32 measured 2x SLOWER banded).
+BAND_TABLE_BYTES = 32 * (1 << 20) // 10  # ~3.2 MB: band above this
+BAND_TARGET_BYTES = 16 * (1 << 20) // 10  # ~1.6 MB per band
+BAND_MIN_PARTS = 3
+BAND_MIN_ROWS = 80_000
+
+
+def band_count(in_dim: int, n: int) -> int:
+    """Number of input bands for an (in_dim, n) uint32 gather table.
+
+    1 (monolithic) unless the table exceeds the staging budget AND the
+    target-sized band still holds enough rows for a dense slab.
+    """
+    table = in_dim * n * 4
+    if table <= BAND_TABLE_BYTES:
+        return 1
+    if BAND_TARGET_BYTES // (n * 4) < BAND_MIN_ROWS:
+        return 1
+    return max(BAND_MIN_PARTS, -(-table // BAND_TARGET_BYTES))
+
+
+def make_banded_op(f: GFp, out_idx, in_idx, vals, out_dim: int, in_dim: int,
+                   nbands: int, chunk: int = DEFAULT_CHUNK,
+                   delta: bool = True) -> BandedOp:
+    """Split the input dimension into nbands bands, one HybridOp each."""
+    in_idx = np.asarray(in_idx, np.int64)
+    out_idx = np.asarray(out_idx, np.int64)
+    vals = np.asarray(vals, np.uint32)
+    band = -(-in_dim // nbands)
+    band += (-band) % 8
+    bounds, parts = [], []
+    for b in range(nbands):
+        lo, hi = b * band, min((b + 1) * band, in_dim)
+        if lo >= hi:
+            break
+        sel = (in_idx >= lo) & (in_idx < hi)
+        parts.append(make_hybrid_op(
+            f, out_idx[sel], (in_idx[sel] - lo).astype(np.int32), vals[sel],
+            out_dim, hi - lo, chunk=chunk, delta=delta))
+        bounds.append((lo, hi))
+    return BandedOp(out_dim=out_dim, in_dim=in_dim, nnz=len(vals),
+                    bounds=tuple(bounds), parts=tuple(parts))
+
+
+def spmv_banded(f: GFp, op: BandedOp, x, out_rows: int | None = None):
+    """y = op * x over the input bands; each part gathers from its slice."""
+    y = None
+    for (lo, hi), part in zip(op.bounds, op.parts):
+        yb = spmv_hybrid(f, part, jax.lax.slice_in_dim(x, lo, hi),
+                         out_rows=out_rows)
+        y = yb if y is None else gfp.modadd(f, y, yb)
+    return y
+
+
 def apply_op(f: GFp, op, x, out_rows: int | None = None):
-    """Dispatch: y = op * x for either sparse layout."""
+    """Dispatch: y = op * x for any sparse layout."""
+    if isinstance(op, BandedOp):
+        return spmv_banded(f, op, x, out_rows)
     if isinstance(op, HybridOp):
         return spmv_hybrid(f, op, x, out_rows)
     return spmv_block(f, op, x, out_rows)

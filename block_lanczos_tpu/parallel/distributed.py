@@ -186,15 +186,18 @@ class ShardedBlockLanczos:
         out_specs = (v_spec, v_spec, tmp_spec, rep2, rep2, rep2,
                      P(None), P(), P())
         if self.overlap:
-            n_leaves = len(self.ops.first_a.leaves())
-            op_specs = ((nnz_spec,) * n_leaves,) * 4
+            op_specs = tuple(
+                (nnz_spec,) * len(d.leaves())
+                for d in (self.ops.first_a, self.ops.first_b,
+                          self.ops.second_a, self.ops.second_b))
             mbody = partial(_local_multi_step_overlap, self.f, self.ops,
                             check_invariants)
             donate = (4, 5)
             self._step = None  # overlap mode is blocked-iteration only
         else:
-            n_leaves = len(self.ops.first.leaves())
-            op_specs = ((nnz_spec,) * n_leaves,) * 2
+            op_specs = tuple(
+                (nnz_spec,) * len(d.leaves())
+                for d in (self.ops.first, self.ops.second))
             body = partial(_local_step, self.f, self.ops, check_invariants)
             smapped = jax.shard_map(
                 body, mesh=self.mesh,

@@ -40,18 +40,27 @@ from block_lanczos_tpu.parallel.mesh import COLS_AXIS, ROWS_AXIS
 
 @dataclasses.dataclass
 class _StackedDir:
-    """One SpMV direction: stacked (R, C, ...) hybrid arrays + static meta."""
+    """One SpMV direction: stacked (R, C, ...) hybrid arrays + static meta.
+
+    Column slabs use the same two encodings as ops.spmm.HybridOp: absolute
+    (`cols`, col0/dcols None) or u16-delta (`cols` None).  The mode is
+    uniform across shards — shard_map needs identical per-shard pytrees.
+    """
     ell: int
     seg_safe: bool
-    cols: jax.Array          # (R, C, out_band, L) int32
+    cols: jax.Array | None   # (R, C, out_band, L) int32 (absolute mode)
     vals: jax.Array          # (R, C, out_band, L) uint32
     spill_out: jax.Array     # (R, C, spill_pad) int32
     spill_in: jax.Array      # (R, C, spill_pad) int32
     spill_val: jax.Array     # (R, C, spill_pad) uint32
     spill_rowptr: jax.Array  # (R, C, out_band + 1) int32
+    col0: jax.Array | None = None   # (R, C, out_band) int32 (delta mode)
+    dcols: jax.Array | None = None  # (R, C, out_band, L-1) uint16
 
     def leaves(self):
-        return (self.cols, self.vals, self.spill_out, self.spill_in,
+        slab = ((self.col0, self.dcols) if self.cols is None
+                else (self.cols,))
+        return (*slab, self.vals, self.spill_out, self.spill_in,
                 self.spill_val, self.spill_rowptr)
 
 
@@ -75,12 +84,7 @@ class ShardedOps:
 
     def _local(self, d: _StackedDir, out_dim: int, in_dim: int,
                leaves) -> HybridOp:
-        cols, vals, s_o, s_i, s_v, s_rp = (leaf[0, 0] for leaf in leaves)
-        spill = SparseOp(out_dim=out_dim, in_dim=in_dim, nnz=-1,
-                         chunk=self.chunk, seg_safe=d.seg_safe,
-                         out_idx=s_o, in_idx=s_i, val_mont=s_v, rowptr=s_rp)
-        return HybridOp(out_dim=out_dim, in_dim=in_dim, nnz=-1, ell=d.ell,
-                        cols=cols, vals=vals, spill=spill)
+        return _local_hybrid(d, out_dim, in_dim, self.chunk, leaves)
 
     def local_first(self, leaves) -> HybridOp:
         return self._local(self.first, self.mband, self.band, leaves)
@@ -89,12 +93,33 @@ class ShardedOps:
         return self._local(self.second, self.band, self.mband, leaves)
 
 
+def _local_hybrid(d: _StackedDir, out_dim: int, in_dim: int, chunk: int,
+                  leaves) -> HybridOp:
+    """Slice this device's (0,0) shard out of the stacked leaves (inside
+    shard_map every device sees its own block at index (0,0))."""
+    sl = [leaf[0, 0] for leaf in leaves]
+    if d.cols is None:
+        col0, dcols, vals = sl[0], sl[1], sl[2]
+        cols, rest = None, sl[3:]
+    else:
+        cols, vals = sl[0], sl[1]
+        col0 = dcols = None
+        rest = sl[2:]
+    s_o, s_i, s_v, s_rp = rest
+    spill = SparseOp(out_dim=out_dim, in_dim=in_dim, nnz=-1,
+                     chunk=chunk, seg_safe=d.seg_safe,
+                     out_idx=s_o, in_idx=s_i, val_mont=s_v, rowptr=s_rp)
+    return HybridOp(out_dim=out_dim, in_dim=in_dim, nnz=-1, ell=d.ell,
+                    cols=cols, vals=vals, spill=spill,
+                    col0=col0, dcols=dcols)
+
+
 def _band_size(dim: int, parts: int, multiple: int) -> int:
     return ((dim + parts * multiple - 1) // (parts * multiple)) * multiple
 
 
 def _build_dir(f: GFp, parts, out_dim: int, R: int, C: int,
-               nnz_sharding, chunk: int) -> _StackedDir:
+               nnz_sharding, chunk: int, delta: bool = True) -> _StackedDir:
     """Build one stacked SpMV direction over the (R, C) part list."""
     # uniform slab width: max of per-shard cost-model choices
     ell = 1
@@ -106,21 +131,25 @@ def _build_dir(f: GFp, parts, out_dim: int, R: int, C: int,
     spill_pad = 1
     built = []
     for (oi, ii, xv) in parts:
-        arrs = spmm.build_hybrid_arrays(
-            f, oi, ii, xv, out_dim, out_dim, ell, chunk=chunk)
-        built.append(arrs)
-        spill_pad = max(spill_pad, arrs[2][0].shape[0])
+        res = spmm.build_hybrid_arrays(
+            f, oi, ii, xv, out_dim, out_dim, ell, chunk=chunk, delta=delta)
+        built.append(res)
+        spill_pad = max(spill_pad, res[1][0].shape[0])
+    # shard_map needs a uniform slab encoding across shards
+    if delta and any(not slab.delta for slab, _, _ in built):
+        return _build_dir(f, parts, out_dim, R, C, nnz_sharding, chunk,
+                          delta=False)
     # rebuild spills padded to the common size
-    cols_l, vals_l, so_l, si_l, sv_l, srp_l = [], [], [], [], [], []
+    slab_l, so_l, si_l, sv_l, srp_l = [], [], [], [], []
     seg_safe = True
-    for (cols2d, vals2d, spill_t, _nnz), (oi, ii, xv) in zip(built, parts):
+    for (slab, spill_t, _nnz), (oi, ii, xv) in zip(built, parts):
         if spill_t[0].shape[0] != spill_pad:
-            _c, _v, spill_t, _n = spmm.build_hybrid_arrays(
+            slab, spill_t, _n = spmm.build_hybrid_arrays(
                 f, oi, ii, xv, out_dim, out_dim, ell, chunk=chunk,
-                spill_pad_to=spill_pad)
+                spill_pad_to=spill_pad, delta=delta)
         s_o, s_i, s_v, _s_nnz, s_rp, s_safe = spill_t
         seg_safe = seg_safe and s_safe
-        cols_l.append(cols2d); vals_l.append(vals2d)
+        slab_l.append(slab)
         so_l.append(s_o); si_l.append(s_i); sv_l.append(s_v)
         srp_l.append(s_rp)
 
@@ -130,10 +159,15 @@ def _build_dir(f: GFp, parts, out_dim: int, R: int, C: int,
         arr = arr.reshape((R, C) + arr.shape[1:])
         return put_global(arr, nnz_sharding)
 
-    return _StackedDir(ell=ell, seg_safe=seg_safe,
-                       cols=stack(cols_l), vals=stack(vals_l),
-                       spill_out=stack(so_l), spill_in=stack(si_l),
-                       spill_val=stack(sv_l), spill_rowptr=stack(srp_l))
+    is_delta = slab_l[0].delta
+    return _StackedDir(
+        ell=ell, seg_safe=seg_safe,
+        cols=None if is_delta else stack([s.cols for s in slab_l]),
+        vals=stack([s.vals for s in slab_l]),
+        spill_out=stack(so_l), spill_in=stack(si_l),
+        spill_val=stack(sv_l), spill_rowptr=stack(srp_l),
+        col0=stack([s.col0 for s in slab_l]) if is_delta else None,
+        dcols=stack([s.dcols for s in slab_l]) if is_delta else None)
 
 
 def partition_matrix(f: GFp, M: COOMatrix, right: bool,
@@ -196,12 +230,7 @@ class OverlapShardedOps:
 
     def _local(self, d: _StackedDir, out_dim: int, in_dim: int,
                leaves) -> HybridOp:
-        cols, vals, s_o, s_i, s_v, s_rp = (leaf[0, 0] for leaf in leaves)
-        spill = SparseOp(out_dim=out_dim, in_dim=in_dim, nnz=-1,
-                         chunk=self.chunk, seg_safe=d.seg_safe,
-                         out_idx=s_o, in_idx=s_i, val_mont=s_v, rowptr=s_rp)
-        return HybridOp(out_dim=out_dim, in_dim=in_dim, nnz=-1, ell=d.ell,
-                        cols=cols, vals=vals, spill=spill)
+        return _local_hybrid(d, out_dim, in_dim, self.chunk, leaves)
 
     def leaves(self):
         return (self.first_a.leaves(), self.first_b.leaves(),

@@ -282,3 +282,127 @@ def test_gram_mod_pallas_bit_exact():
                 or "not implemented" in str(e).lower()):
             pytest.skip(f"Pallas unsupported on this backend: {e}")
         raise
+
+
+def test_delta_encoding_adopted_and_exact(rng):
+    """Typical random matrix: the u16-delta slab is adopted (cols is None)
+    and results stay bit-exact vs the oracle."""
+    p = 1073741789
+    f = GFp.make(p)
+    nrows, ncols, nnz = 80, 120, 900
+    i, j, x = rand_coo(rng, nrows, ncols, nnz, p)
+    op = spmm.make_hybrid_op(f, i, j, x, nrows, ncols)
+    assert op.dcols is not None and op.cols is None
+    assert op.dcols.dtype == jnp.uint16
+    v = rng.integers(0, p, (ncols, 4), dtype=np.uint64).astype(np.uint32)
+    got = np.asarray(spmm.spmv_hybrid(f, op, jnp.asarray(v)))
+    np.testing.assert_array_equal(got, spmm.spmv_reference_np(p, nrows, i, j, x, v))
+    # and the absolute layout gives the identical result
+    op_abs = spmm.make_hybrid_op(f, i, j, x, nrows, ncols, delta=False)
+    assert op_abs.cols is not None
+    got_abs = np.asarray(spmm.spmv_hybrid(f, op_abs, jnp.asarray(v)))
+    np.testing.assert_array_equal(got, got_abs)
+
+
+def test_delta_encoding_eviction(rng):
+    """Rows with a few >= 2^16 column gaps: the oversized-gap entries are
+    evicted to the spill sidecar and the product stays exact."""
+    p = 65537
+    f = GFp.make(p)
+    nrows, ncols = 16, 1 << 18
+    # each row: a tight cluster plus one far column (gap >> 2^16)
+    i = np.repeat(np.arange(nrows, dtype=np.int32), 5)
+    j_cluster = rng.integers(0, 1000, (nrows, 4)).astype(np.int32)
+    j_far = rng.integers(1 << 17, ncols, (nrows, 1)).astype(np.int32)
+    j = np.concatenate([j_cluster, j_far], axis=1).ravel()
+    x = rng.integers(1, p, nrows * 5, dtype=np.uint64).astype(np.uint32)
+    op = spmm.make_hybrid_op(f, i, j, x, nrows, ncols)
+    if op.dcols is not None:  # adopted (16 evictions <= max(64, ...))
+        assert op.spill.nnz >= nrows  # far entries went to the spill
+    v = rng.integers(0, p, (ncols, 2), dtype=np.uint64).astype(np.uint32)
+    got = np.asarray(spmm.spmv_hybrid(f, op, jnp.asarray(v)))
+    np.testing.assert_array_equal(
+        got, spmm.spmv_reference_np(p, nrows, i, j, x, v))
+
+
+def test_delta_encoding_fallback(rng):
+    """Adversarial matrix (every gap oversized, many entries): the builder
+    falls back to the absolute slab rather than spilling everything."""
+    p = 65537
+    f = GFp.make(p)
+    nrows, width = 200, 40
+    ncols = width * (1 << 17)
+    # every row hits columns k * 2^17: every within-row gap is 2^17
+    i = np.repeat(np.arange(nrows, dtype=np.int32), width)
+    j = np.tile((np.arange(width, dtype=np.int64) << 17).astype(np.int32),
+                nrows)
+    x = rng.integers(1, p, nrows * width, dtype=np.uint64).astype(np.uint32)
+    op = spmm.make_hybrid_op(f, i, j, x, nrows, ncols, ell=width)
+    assert op.cols is not None and op.dcols is None  # fell back
+    v = rng.integers(0, p, (ncols, 1), dtype=np.uint64).astype(np.uint32)
+    got = np.asarray(spmm.spmv_hybrid(f, op, jnp.asarray(v)))
+    np.testing.assert_array_equal(
+        got, spmm.spmv_reference_np(p, nrows, i, j, x, v))
+
+
+def test_delta_encoding_fori_loop(rng):
+    """Delta decode through the ell > unroll-limit fori_loop path."""
+    p = 65537
+    f = GFp.make(p)
+    nrows, ncols = 8, 4096
+    per = 100
+    i = np.repeat(np.arange(nrows, dtype=np.int32), per)
+    j = np.tile(np.sort(rng.choice(ncols, per, replace=False)).astype(np.int32),
+                nrows)
+    x = rng.integers(1, p, nrows * per, dtype=np.uint64).astype(np.uint32)
+    op = spmm.make_hybrid_op(f, i, j, x, nrows, ncols, ell=per)
+    assert op.ell > spmm._ELL_UNROLL and op.dcols is not None
+    v = rng.integers(0, p, (ncols, 2), dtype=np.uint64).astype(np.uint32)
+    got = np.asarray(spmm.spmv_hybrid(f, op, jnp.asarray(v)))
+    np.testing.assert_array_equal(
+        got, spmm.spmv_reference_np(p, nrows, i, j, x, v))
+
+
+def test_banded_op_matches_monolithic(rng):
+    """Input banding is bit-exact vs the monolithic hybrid op and works as
+    a jit argument (pytree round-trip)."""
+    import jax
+    p = 1073741789
+    f = GFp.make(p)
+    nrows, ncols, nnz = 60, 101, 700  # in_dim not divisible by the bands
+    i, j, x = rand_coo(rng, nrows, ncols, nnz, p)
+    mono = spmm.make_hybrid_op(f, i, j, x, nrows, ncols)
+    band = spmm.make_banded_op(f, i, j, x, nrows, ncols, nbands=3)
+    assert len(band.parts) == 3
+    assert band.bounds[-1][1] == ncols
+    v = rng.integers(0, p, (ncols, 4), dtype=np.uint64).astype(np.uint32)
+    got_m = np.asarray(spmm.apply_op(f, mono, jnp.asarray(v)))
+    ap = jax.jit(lambda op, x: spmm.apply_op(f, op, x))
+    got_b = np.asarray(ap(band, jnp.asarray(v)))
+    np.testing.assert_array_equal(got_m, got_b)
+    np.testing.assert_array_equal(got_b, spmm.spmv_reference_np(p, nrows, i, j, x, v))
+
+
+def test_banded_op_empty_band(rng):
+    """A band with zero entries still contributes zeros (no crash)."""
+    p = 65537
+    f = GFp.make(p)
+    nrows, ncols = 20, 96
+    # all entries in the FIRST third of the columns
+    i = rng.integers(0, nrows, 150).astype(np.int32)
+    j = rng.integers(0, 32, 150).astype(np.int32)
+    x = rng.integers(1, p, 150, dtype=np.uint64).astype(np.uint32)
+    band = spmm.make_banded_op(f, i, j, x, nrows, ncols, nbands=3)
+    v = rng.integers(0, p, (ncols, 2), dtype=np.uint64).astype(np.uint32)
+    got = np.asarray(spmm.apply_op(f, band, jnp.asarray(v)))
+    np.testing.assert_array_equal(
+        got, spmm.spmv_reference_np(p, nrows, i, j, x, v))
+
+
+def test_band_count_policy():
+    """Measured policy: band only big tables at small n, >= 3 bands."""
+    assert spmm.band_count(300_000, 4) == 3     # 4.8 MB -> 3 bands
+    assert spmm.band_count(200_000, 4) == 1     # 3.2 MB fits
+    assert spmm.band_count(200_000, 32) == 1    # thin-band regime: off
+    assert spmm.band_count(3_000_000, 4) >= 3   # 48 MB -> many bands
+    assert spmm.band_count(50_000, 1) == 1
