@@ -586,12 +586,15 @@ class BandedOp:
 
 # Band policy constants, measured on the bench chip (see PERF.md):
 # gather tables above ~3.2 MB pay ~2x per row; ~1.6 MB slices recover the
-# fast path; fewer than 3 bands triggers a slow XLA fusion shape; and bands
+# fast path; fewer than 3 bands triggers a slow XLA fusion shape; bands
 # thinner than ~80k rows (large n) inflate per-band slab padding past the
-# gather savings (n=32 measured 2x SLOWER banded).
+# gather savings (n=32 measured 2x SLOWER banded); and MANY bands lose the
+# same way regardless of band size (51M-nnz matrix: monolithic 822 ms/iter,
+# 3 bands 1071, 29 bands 2228 — per-band slab padding scales with parts).
 BAND_TABLE_BYTES = 32 * (1 << 20) // 10  # ~3.2 MB: band above this
 BAND_TARGET_BYTES = 16 * (1 << 20) // 10  # ~1.6 MB per band
 BAND_MIN_PARTS = 3
+BAND_MAX_PARTS = 6
 BAND_MIN_ROWS = 80_000
 
 
@@ -599,14 +602,20 @@ def band_count(in_dim: int, n: int) -> int:
     """Number of input bands for an (in_dim, n) uint32 gather table.
 
     1 (monolithic) unless the table exceeds the staging budget AND the
-    target-sized band still holds enough rows for a dense slab.
+    target-sized band still holds enough rows for a dense slab AND the
+    whole table splits into few enough bands that per-band slab padding
+    stays negligible.  In practice this engages for n <= 4 with
+    ~0.2M < in_dim <= ~0.65M (measured win: -24% iteration time).
     """
     table = in_dim * n * 4
     if table <= BAND_TABLE_BYTES:
         return 1
     if BAND_TARGET_BYTES // (n * 4) < BAND_MIN_ROWS:
         return 1
-    return max(BAND_MIN_PARTS, -(-table // BAND_TARGET_BYTES))
+    nb = max(BAND_MIN_PARTS, -(-table // BAND_TARGET_BYTES))
+    if nb > BAND_MAX_PARTS:
+        return 1
+    return nb
 
 
 def make_banded_op(f: GFp, out_idx, in_idx, vals, out_dim: int, in_dim: int,

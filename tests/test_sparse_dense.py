@@ -400,9 +400,10 @@ def test_banded_op_empty_band(rng):
 
 
 def test_band_count_policy():
-    """Measured policy: band only big tables at small n, >= 3 bands."""
+    """Measured policy: band only 3.2-10 MB tables at small n, 3-6 bands."""
     assert spmm.band_count(300_000, 4) == 3     # 4.8 MB -> 3 bands
     assert spmm.band_count(200_000, 4) == 1     # 3.2 MB fits
     assert spmm.band_count(200_000, 32) == 1    # thin-band regime: off
-    assert spmm.band_count(3_000_000, 4) >= 3   # 48 MB -> many bands
+    assert spmm.band_count(3_000_000, 4) == 1   # 48 MB: many-band regime, off
+    assert spmm.band_count(600_000, 4) == 6     # 9.6 MB -> 6 bands
     assert spmm.band_count(50_000, 1) == 1
