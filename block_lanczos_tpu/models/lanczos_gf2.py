@@ -137,7 +137,8 @@ def spmv_gf2(op: GF2Op, x_words, out_rows: int):
         mask = jnp.where(bit == 1, u32(0xFFFFFFFF), u32(0))[:, None]
         return y ^ (mask & x_words[ck])
 
-    y = jnp.zeros((out_pad, W), u32)
+    from block_lanczos_tpu.ops.gfp import zeros_vma_like
+    y = zeros_vma_like(x_words, (out_pad, W))  # fori carry: x's vma type
     if op.ell <= _ELL_UNROLL:
         for k in range(op.ell):
             y = step(k, y, op.cols[:, k])

@@ -79,10 +79,15 @@ def matmul_gf2(X_words, B_words, n_in: int):
     N = X_words.shape[0]
     Wout = B_words.shape[1]
     y = jnp.zeros((N, Wout), u32)
-    for k in range(n_in):
+    for k in range(n_in):  # unrolled: no loop carry, vma-safe
         mask = bit_of(X_words, k)[:, None]           # (N, 1)
         y = y ^ (mask & B_words[k][None, :])
     return y
+
+
+# row-chunk size for the Gram scan (module constant so tests can force the
+# chunked path at small sizes)
+_GRAM_CHUNK = 1 << 16
 
 
 def gram_gf2(X_words, Y_words, n_x: int):
@@ -92,7 +97,7 @@ def gram_gf2(X_words, Y_words, n_x: int):
     XOR is exact and order-independent so any chunking is bit-identical.
     """
     N, Wy = Y_words.shape
-    chunk = 1 << 16
+    chunk = _GRAM_CHUNK
 
     def chunk_gram(Xc, Yc):
         rows = []
@@ -113,7 +118,8 @@ def gram_gf2(X_words, Y_words, n_x: int):
         Xc, Yc = xy
         return acc ^ chunk_gram(Xc, Yc), None
 
-    acc0 = jnp.zeros((n_x, Wy), u32)
+    from block_lanczos_tpu.ops.gfp import zeros_vma_like
+    acc0 = zeros_vma_like(X_words, (n_x, Wy))  # carry needs X's vma type
     acc, _ = jax.lax.scan(
         body, acc0,
         (X_words.reshape(nchunks, chunk, -1),

@@ -127,6 +127,21 @@ def mullo32(a, b):
     return a.astype(u32) * b.astype(u32)
 
 
+def zeros_vma_like(ref, shape, dtype=u32):
+    """Zeros of `shape` carrying ref's varying-manual-axes type.
+
+    A plain jnp.zeros carry is axis-INVARIANT under shard_map; if the loop
+    body produces a varying value (anything derived from sharded operands),
+    lax.scan/fori_loop reject the carry-type mismatch — but only at shapes
+    big enough to take the chunked path, which small-matrix tests never
+    reach.  Deriving the zero from a varying operand (x & 0 broadcast) is
+    a no-op numerically, folds away in XLA, and carries the right type in
+    BOTH shard_map and plain-jit contexts.
+    """
+    z = (ref[(0,) * ref.ndim] & ref.dtype.type(0)).astype(dtype)
+    return jnp.zeros(shape, dtype) + z
+
+
 # ---------------------------------------------------------------------------
 # Core field ops.  All take/return uint32 arrays with values in [0, p).
 # ---------------------------------------------------------------------------

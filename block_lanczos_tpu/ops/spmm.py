@@ -239,7 +239,7 @@ def _spmv_scan(f: GFp, op: SparseOp, x, out_rows: int):
     chunks = (op.out_idx.reshape(nchunks, op.chunk),
               op.in_idx.reshape(nchunks, op.chunk),
               op.val_mont.reshape(nchunks, op.chunk))
-    y0 = jnp.zeros((out_rows, n), u32)
+    y0 = gfp.zeros_vma_like(x, (out_rows, n))  # match x's vma type
     y, _ = jax.lax.scan(body, y0, chunks)
     return y
 
@@ -508,7 +508,7 @@ def spmv_hybrid(f: GFp, op: HybridOp, x, out_rows: int | None = None):
     n = x.shape[1]
     out_pad = op.vals.shape[0]
 
-    y = jnp.zeros((out_pad, n), u32)
+    y = gfp.zeros_vma_like(x, (out_pad, n))  # fori carries need x's vma type
     if op.dcols is not None:
         # delta encoding: reconstruct the column chain while streaming.
         # The running base is a single (out_pad,) int32 vector; empty slots

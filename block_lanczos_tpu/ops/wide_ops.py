@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from block_lanczos_tpu.ops import gfp
 from block_lanczos_tpu.ops import gfp_wide as gw
 from block_lanczos_tpu.ops.gfp import u32
 from block_lanczos_tpu.ops.gfp_wide import GFpWide, N_LIMBS
@@ -67,7 +68,7 @@ def gram_mod(f: GFpWide, V, W):
         Vc, Wc = vw
         return gw.modadd(f, acc, chunk_gram(Vc, Wc)), None
 
-    acc0 = jnp.zeros((a, b, 2), u32)
+    acc0 = gfp.zeros_vma_like(V, (a, b, 2))  # carry needs V's vma type
     acc, _ = jax.lax.scan(
         body, acc0,
         (V.reshape(nchunks, chunk, a, 2), Wm.reshape(nchunks, chunk, b, 2)))
@@ -330,7 +331,7 @@ def spmv_wide(f: GFpWide, op: WideHybridOp, x, out_rows: int | None = None):
         vk = jax.lax.dynamic_index_in_dim(op.vals, k, 1, keepdims=False)
         return gw.modadd(f, y, gw.mont_mul(f, vk[:, None, :], x[ck]))
 
-    y = jnp.zeros((out_pad, n, 2), u32)
+    y = gfp.zeros_vma_like(x, (out_pad, n, 2))  # fori carry: x's vma type
     if op.ell <= _ELL_UNROLL:
         for k in range(op.ell):
             y = gw.modadd(f, y, gw.mont_mul(

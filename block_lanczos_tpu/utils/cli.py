@@ -156,6 +156,20 @@ def main(argv=None) -> int:
             print(f"Resuming from iteration {resume_state['iteration']} "
                   f"({args.checkpoint_dir})")
 
+    # A 1-device mesh is mathematically identical to the single-device
+    # driver but pays shard_map overhead and misses input banding —
+    # measured 75.5 vs 35.9 ms/iter at the bench config.  The flip side:
+    # on the tunneled remote compiler the single driver's program compiles
+    # ~20x slower (~200 s vs ~9 s, program-shape-specific).  Auto-select
+    # single only when the solve is long enough for steady-state to
+    # dominate; tiny runs keep the fast-compiling 1-device mesh.
+    if (not args.single and not args.overlap and args.grid is None
+            and args.num_processes == 1):
+        import jax
+        n_dev = args.devices if args.devices else len(jax.devices())
+        if n_dev == 1 and (M.ncols if not right else M.nrows) // max(args.n, 1) >= 20_000:
+            args.single = True
+
     if wide:
         if is_root:
             print("  - wide field (p > 2^30): two-limb arithmetic",

@@ -142,3 +142,163 @@ def test_overlap_2d_grid_bit_exact():
                               check_invariants=True, overlap=True).solve()
     assert got.iterations == ref.iterations
     np.testing.assert_array_equal(got.kernel, ref.kernel)
+
+
+# ---------------------------------------------------------------------------
+# Chunked-path carries under shard_map (regression: round-2 bug — plain
+# jnp.zeros scan/fori carries are axis-invariant, loop bodies over sharded
+# operands produce varying values, and the mismatch only appeared at shapes
+# big enough to take the chunked paths, which golden tests never reach)
+# ---------------------------------------------------------------------------
+
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+def _row_sharded(mesh, arr, spec=None):
+    return jax.device_put(arr, NamedSharding(mesh, spec or P("rows", None)))
+
+
+def _per_device_x(x, p):
+    """Stack 8 per-device variants of x so sharded outputs are varying."""
+    return np.concatenate([
+        ((x.astype(np.uint64) * (d + 1)) % p).astype(x.dtype)
+        for d in range(8)])
+
+
+def test_gram_scan_carry_under_shard_map(monkeypatch):
+    """gram_mod's chunked lax.scan must run under shard_map (big-N path)."""
+    from block_lanczos_tpu.ops import dense
+    monkeypatch.setattr(dense, "_gram_chunk_rows", lambda sq: 16)
+    p = 65537
+    f = GFp.make(p)
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(0)
+    N, a, b = 8 * 64, 8, 4  # 64 rows/device > 16-row chunks -> scan
+    V = rng.integers(0, p, (N, a), dtype=np.uint64).astype(np.uint32)
+    W = rng.integers(0, p, (N, b), dtype=np.uint64).astype(np.uint32)
+
+    def local(v, w):
+        return psum_mod(f, dense.gram_mod(f, v, w), "rows")
+
+    g = jax.jit(jax.shard_map(local, mesh=mesh,
+                              in_specs=(P("rows", None), P("rows", None)),
+                              out_specs=P(None, None)))
+    got = np.asarray(g(_row_sharded(mesh, V), _row_sharded(mesh, W)))
+    exp = (V.astype(object).T @ W.astype(object)) % p
+    assert (got.astype(object) == exp).all()
+
+
+def test_spmv_scan_fallback_under_shard_map():
+    """_spmv_scan (multi-chunk COO fallback) must run under shard_map with
+    a varying input block."""
+    from block_lanczos_tpu.ops import spmm
+    p = 65537
+    f = GFp.make(p)
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(1)
+    nnz, out_dim, in_dim = 64, 24, 16
+    oi = np.sort(rng.integers(0, out_dim, nnz)).astype(np.int32)
+    ii = rng.integers(0, in_dim, nnz).astype(np.int32)
+    xv = rng.integers(1, p, nnz, dtype=np.uint64).astype(np.uint32)
+    op = spmm.make_sparse_op(f, oi, ii, xv, out_dim, in_dim, chunk=8)
+    op = spmm.SparseOp(op.out_dim, op.in_dim, op.nnz, op.chunk,
+                       False,  # force the scan fallback
+                       op.out_idx, op.in_idx, op.val_mont, op.rowptr)
+    x = rng.integers(0, p, (in_dim, 4), dtype=np.uint64).astype(np.uint32)
+
+    def local(xs):
+        return spmm.spmv_block(f, op, xs)
+
+    g = jax.jit(jax.shard_map(local, mesh=mesh,
+                              in_specs=(P("rows", None),),
+                              out_specs=P("rows", None)))
+    got = np.asarray(g(_row_sharded(mesh, _per_device_x(x, p))))
+    for d in range(8):
+        xd = ((x.astype(np.uint64) * (d + 1)) % p).astype(np.uint32)
+        exp = spmm.spmv_reference_np(p, out_dim, oi, ii, xv, xd)
+        np.testing.assert_array_equal(got[d * out_dim:(d + 1) * out_dim], exp)
+
+
+def test_hybrid_fori_and_delta_under_shard_map():
+    """spmv_hybrid's fori_loop slab walks (absolute + delta) under
+    shard_map with a varying input block."""
+    from block_lanczos_tpu.ops import spmm
+    p = 65537
+    f = GFp.make(p)
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(2)
+    out_dim, in_dim, per = 16, 128, 40  # ell=40 > unroll limit
+    oi = np.repeat(np.arange(out_dim, dtype=np.int32), per)
+    ii = np.tile(np.sort(rng.choice(in_dim, per, replace=False))
+                 .astype(np.int32), out_dim)
+    xv = rng.integers(1, p, out_dim * per, dtype=np.uint64).astype(np.uint32)
+    x = rng.integers(0, p, (in_dim, 4), dtype=np.uint64).astype(np.uint32)
+    for delta in (False, True):
+        op = spmm.make_hybrid_op(f, oi, ii, xv, out_dim, in_dim, ell=per,
+                                 delta=delta)
+        assert op.ell > spmm._ELL_UNROLL
+        assert (op.dcols is not None) == delta
+
+        def local(xs):
+            return spmm.spmv_hybrid(f, op, xs)
+
+        g = jax.jit(jax.shard_map(local, mesh=mesh,
+                                  in_specs=(P("rows", None),),
+                                  out_specs=P("rows", None)))
+        got = np.asarray(g(_row_sharded(mesh, _per_device_x(x, p))))
+        for d in range(8):
+            xd = ((x.astype(np.uint64) * (d + 1)) % p).astype(np.uint32)
+            exp = spmm.spmv_reference_np(p, out_dim, oi, ii, xv, xd)
+            np.testing.assert_array_equal(
+                got[d * out_dim:(d + 1) * out_dim], exp)
+
+
+def test_gf2_gram_scan_under_shard_map(monkeypatch):
+    """gram_gf2's chunked XOR scan under shard_map."""
+    from block_lanczos_tpu.ops import gf2
+    from block_lanczos_tpu.parallel.distributed_gf2 import pxor
+    monkeypatch.setattr(gf2, "_GRAM_CHUNK", 16)
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(3)
+    n, N = 32, 8 * 64
+    Xb = rng.integers(0, 2, (N, n)).astype(np.uint32)
+    Yb = rng.integers(0, 2, (N, n)).astype(np.uint32)
+
+    def local(xs, ys):
+        return pxor(gf2.gram_gf2(xs, ys, n), "rows")
+
+    g = jax.jit(jax.shard_map(local, mesh=mesh,
+                              in_specs=(P("rows", None), P("rows", None)),
+                              out_specs=P(None, None)))
+    got = gf2.unpack_bits_np(np.asarray(
+        g(_row_sharded(mesh, gf2.pack_bits_np(Xb)),
+          _row_sharded(mesh, gf2.pack_bits_np(Yb)))), n)
+    exp = (Xb.astype(np.int64).T @ Yb.astype(np.int64)) % 2
+    np.testing.assert_array_equal(got.astype(np.int64), exp)
+
+
+def test_wide_gram_scan_under_shard_map(monkeypatch):
+    """wide gram_mod's chunked scan under shard_map."""
+    from block_lanczos_tpu.ops import gfp_wide as gw, wide_ops
+    from block_lanczos_tpu.parallel.collectives import psum_mod_wide
+    monkeypatch.setattr(wide_ops, "_gram_chunk_rows", lambda sq: 16)
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(4)
+    p61 = (1 << 61) - 1
+    fw = gw.GFpWide.make(p61)
+    N, a, b = 8 * 64, 4, 3
+    V = rng.integers(0, p61, (N, a), dtype=np.uint64)
+    W = rng.integers(0, p61, (N, b), dtype=np.uint64)
+
+    def local(vs, ws):
+        return psum_mod_wide(fw, wide_ops.gram_mod(fw, vs, ws), "rows")
+
+    g = jax.jit(jax.shard_map(local, mesh=mesh,
+                              in_specs=(P("rows", None, None),
+                                        P("rows", None, None)),
+                              out_specs=P(None, None, None)))
+    got = gw.np_unpair(np.asarray(
+        g(_row_sharded(mesh, gw.np_pair(V), P("rows", None, None)),
+          _row_sharded(mesh, gw.np_pair(W), P("rows", None, None)))))
+    exp = (V.astype(object).T @ W.astype(object)) % p61
+    assert (got == exp).all()
