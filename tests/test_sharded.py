@@ -302,3 +302,14 @@ def test_wide_gram_scan_under_shard_map(monkeypatch):
           _row_sharded(mesh, gw.np_pair(W), P("rows", None, None)))))
     exp = (V.astype(object).T @ W.astype(object)) % p61
     assert (got == exp).all()
+
+
+def test_sharded_solve_with_chunked_gram(monkeypatch):
+    """Full sharded solve with the Gram scan path forced on (end-to-end
+    version of test_gram_scan_carry_under_shard_map): golden parity."""
+    from block_lanczos_tpu.ops import dense
+    monkeypatch.setattr(dense, "_gram_chunk_rows", lambda sq: 16)
+    M, ref, prime, n, right = load_golden("left_p65537_n4")
+    res = ShardedBlockLanczos(M, n=n, mesh=make_mesh(4)).solve()
+    assert res.v_nonzero and res.product_zero
+    np.testing.assert_array_equal(res.kernel.astype(np.int64), ref)
