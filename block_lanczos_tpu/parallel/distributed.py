@@ -171,7 +171,8 @@ class ShardedBlockLanczos:
                 self.f, M, right, self.mesh, pad_multiple=pad_multiple)
         else:
             self.ops = shard_lib.partition_matrix(
-                self.f, M, right, self.mesh, pad_multiple=pad_multiple)
+                self.f, M, right, self.mesh, pad_multiple=pad_multiple,
+                n=self.n)
         self.n_eff = self.ops.n_eff
         self.m_eff = self.ops.m_eff
         self.np_rows = self.ops.np_rows

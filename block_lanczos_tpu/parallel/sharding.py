@@ -82,14 +82,15 @@ class ShardedOps:
     def n_shards(self) -> int:
         return self.grid[0] * self.grid[1]
 
-    def _local(self, d: _StackedDir, out_dim: int, in_dim: int,
-               leaves) -> HybridOp:
+    def _local(self, d, out_dim: int, in_dim: int, leaves):
+        if isinstance(d, _BandedStackedDir):
+            return d.local(out_dim, self.chunk, leaves)
         return _local_hybrid(d, out_dim, in_dim, self.chunk, leaves)
 
-    def local_first(self, leaves) -> HybridOp:
+    def local_first(self, leaves):
         return self._local(self.first, self.mband, self.band, leaves)
 
-    def local_second(self, leaves) -> HybridOp:
+    def local_second(self, leaves):
         return self._local(self.second, self.band, self.mband, leaves)
 
 
@@ -112,6 +113,29 @@ def _local_hybrid(d: _StackedDir, out_dim: int, in_dim: int, chunk: int,
     return HybridOp(out_dim=out_dim, in_dim=in_dim, nnz=-1, ell=d.ell,
                     cols=cols, vals=vals, spill=spill,
                     col0=col0, dcols=dcols)
+
+
+@dataclasses.dataclass
+class _BandedStackedDir:
+    """Input-banded variant of _StackedDir: one sub-dir per in-band, same
+    bands on every shard (shard_map uniformity).  The local op becomes a
+    spmm.BandedOp so per-shard gather tables stay under the staging budget
+    (same measured policy as the single-device path — spmm.band_count)."""
+    bounds: tuple                 # ((lo, hi), ...) in-band bounds
+    dirs: tuple                   # tuple[_StackedDir, ...]
+
+    def leaves(self):
+        return tuple(leaf for d in self.dirs for leaf in d.leaves())
+
+    def local(self, out_dim: int, chunk: int, leaves) -> spmm.BandedOp:
+        parts, used = [], 0
+        for (lo, hi), d in zip(self.bounds, self.dirs):
+            k = len(d.leaves())
+            parts.append(_local_hybrid(d, out_dim, hi - lo, chunk,
+                                       leaves[used:used + k]))
+            used += k
+        return spmm.BandedOp(out_dim=out_dim, in_dim=self.bounds[-1][1],
+                             nnz=-1, bounds=self.bounds, parts=tuple(parts))
 
 
 def _band_size(dim: int, parts: int, multiple: int) -> int:
@@ -170,9 +194,36 @@ def _build_dir(f: GFp, parts, out_dim: int, R: int, C: int,
         dcols=stack([s.dcols for s in slab_l]) if is_delta else None)
 
 
+def _build_dir_banded(f: GFp, parts, out_dim: int, in_dim: int, n: int,
+                      R: int, C: int, nnz_sharding, chunk: int,
+                      delta: bool = True):
+    """_build_dir with the measured input-banding policy applied per shard
+    (spmm.band_count on the LOCAL in-band size; same bands on every shard)."""
+    nb = spmm.band_count(in_dim, n)
+    if nb == 1:
+        return _build_dir(f, parts, out_dim, R, C, nnz_sharding, chunk,
+                          delta=delta)
+    band = -(-in_dim // nb)
+    band += (-band) % 8
+    bounds, dirs = [], []
+    for b in range(nb):
+        lo, hi = b * band, min((b + 1) * band, in_dim)
+        if lo >= hi:
+            break
+        sub = []
+        for (oi, ii, xv) in parts:
+            sel = (ii >= lo) & (ii < hi)
+            sub.append((oi[sel], (ii[sel] - lo).astype(np.int32), xv[sel]))
+        dirs.append(_build_dir(f, sub, out_dim, R, C, nnz_sharding, chunk,
+                               delta=delta))
+        bounds.append((lo, hi))
+    return _BandedStackedDir(tuple(bounds), tuple(dirs))
+
+
 def partition_matrix(f: GFp, M: COOMatrix, right: bool,
                      mesh: jax.sharding.Mesh, pad_multiple: int = 8,
-                     chunk: int = spmm.DEFAULT_CHUNK) -> ShardedOps:
+                     chunk: int = spmm.DEFAULT_CHUNK,
+                     n: int = 1) -> ShardedOps:
     """Split the matrix into an (R, C) grid of blocks, one per mesh device."""
     R = mesh.shape[ROWS_AXIS]
     C = mesh.shape[COLS_AXIS]
@@ -197,8 +248,10 @@ def partition_matrix(f: GFp, M: COOMatrix, right: bool,
             second_parts.append((lk, lo, xv))  # out = local N, in = local M
 
     nnz_sharding = NamedSharding(mesh, P(ROWS_AXIS, COLS_AXIS))
-    first = _build_dir(f, first_parts, mband, R, C, nnz_sharding, chunk)
-    second = _build_dir(f, second_parts, band, R, C, nnz_sharding, chunk)
+    first = _build_dir_banded(f, first_parts, mband, band, n, R, C,
+                              nnz_sharding, chunk)
+    second = _build_dir_banded(f, second_parts, band, mband, n, R, C,
+                               nnz_sharding, chunk)
     return ShardedOps(grid=(R, C), band=band, mband=mband,
                       np_rows=band * R, mp_rows=mband * C,
                       n_eff=n_eff, m_eff=m_eff,

@@ -313,3 +313,18 @@ def test_sharded_solve_with_chunked_gram(monkeypatch):
     res = ShardedBlockLanczos(M, n=n, mesh=make_mesh(4)).solve()
     assert res.v_nonzero and res.product_zero
     np.testing.assert_array_equal(res.kernel.astype(np.int64), ref)
+
+
+def test_sharded_solve_with_input_banding(monkeypatch):
+    """Per-shard input banding forced on: golden parity on a 2x2 grid (the
+    local ops become spmm.BandedOp; bit-exact by mod-p associativity)."""
+    from block_lanczos_tpu.ops import spmm
+    from block_lanczos_tpu.parallel import sharding as shard_lib
+    from block_lanczos_tpu.parallel.mesh import make_mesh_grid
+    monkeypatch.setattr(spmm, "band_count", lambda in_dim, n: 3)
+    M, ref, prime, n, right = load_golden("left_p65537_n4")
+    solver = ShardedBlockLanczos(M, n=n, mesh=make_mesh_grid(2, 2))
+    assert isinstance(solver.ops.first, shard_lib._BandedStackedDir)
+    res = solver.solve()
+    assert res.v_nonzero and res.product_zero
+    np.testing.assert_array_equal(res.kernel.astype(np.int64), ref)
