@@ -407,3 +407,33 @@ def test_band_count_policy():
     assert spmm.band_count(3_000_000, 4) == 1   # 48 MB: many-band regime, off
     assert spmm.band_count(600_000, 4) == 6     # 9.6 MB -> 6 bands
     assert spmm.band_count(50_000, 1) == 1
+
+
+def test_layout_fuzz_all_equal(rng):
+    """Random matrices: every layout (coo, hybrid-absolute, hybrid-delta,
+    banded x {absolute, delta}) produces the identical product."""
+    import jax
+    p = 1073741789
+    f = GFp.make(p)
+    for trial in range(6):
+        nrows = int(rng.integers(20, 150))
+        ncols = int(rng.integers(20, 150))
+        nnz = int(rng.integers(10, 4 * max(nrows, ncols)))
+        n = int(rng.choice([1, 3, 4]))
+        i, j, x = rand_coo(rng, nrows, ncols, nnz, p)
+        v = rng.integers(0, p, (ncols, n), dtype=np.uint64).astype(np.uint32)
+        want = spmm.spmv_reference_np(p, nrows, i, j, x, v)
+        ops = [
+            spmm.make_sparse_op(f, i, j, x, nrows, ncols),
+            spmm.make_hybrid_op(f, i, j, x, nrows, ncols, delta=False),
+            spmm.make_hybrid_op(f, i, j, x, nrows, ncols, delta=True),
+            spmm.make_banded_op(f, i, j, x, nrows, ncols, nbands=3,
+                                delta=False),
+            spmm.make_banded_op(f, i, j, x, nrows, ncols, nbands=4,
+                                delta=True),
+        ]
+        for op in ops:
+            got = np.asarray(spmm.apply_op(f, op, jnp.asarray(v)))
+            np.testing.assert_array_equal(
+                got[:nrows], want,
+                err_msg=f"trial={trial} layout={type(op).__name__}")
