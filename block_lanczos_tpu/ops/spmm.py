@@ -625,6 +625,7 @@ def make_banded_op(f: GFp, out_idx, in_idx, vals, out_dim: int, in_dim: int,
     in_idx = np.asarray(in_idx, np.int64)
     out_idx = np.asarray(out_idx, np.int64)
     vals = np.asarray(vals, np.uint32)
+    nbands = max(1, min(int(nbands), in_dim))
     band = -(-in_dim // nbands)
     band += (-band) % 8
     bounds, parts = [], []
