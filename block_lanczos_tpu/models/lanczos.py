@@ -249,6 +249,13 @@ def blocked_solve_loop(multi_step, v, p_blk, start_iter: int,
     stopped_by_limit = False
     block = sync_every or 1
     _ADAPT_CAP, _ADAPT_TARGET_S = 1024, 0.25
+    # Multi-process: every process runs this loop around the SAME collective
+    # program, so k_ask must be identical everywhere.  Wall-clock-based
+    # doubling can race at the 0.25 s threshold (one process doubles, the
+    # other doesn't -> mismatched while_loop trip counts -> the collectives
+    # desynchronize and hang), so the ROOT's verdict is broadcast.
+    import jax as _jax
+    multiproc = _jax.process_count() > 1
     while True:
         remaining = (stop_after - n_iterations if stop_after > 0 else block)
         if remaining <= 0:
@@ -270,9 +277,14 @@ def blocked_solve_loop(multi_step, v, p_blk, start_iter: int,
             on_iteration(solver, n_iterations, v, p_blk, start)
         if stop:
             break
-        if sync_every is None and block < _ADAPT_CAP and \
-                time.time() - t_blk < _ADAPT_TARGET_S:
-            block *= 2
+        if sync_every is None and block < _ADAPT_CAP:
+            grow = time.time() - t_blk < _ADAPT_TARGET_S
+            if multiproc:
+                from jax.experimental import multihost_utils
+                grow = bool(multihost_utils.broadcast_one_to_all(
+                    np.asarray(grow)))
+            if grow:
+                block *= 2
     return v, p_blk, tmp, n_iterations, stopped_by_limit, start
 
 

@@ -93,6 +93,11 @@ i64 parse_triplets_mod(const char *buf, i64 len, i64 nnz,
                 return u;
             vals[k] = neg ? -v : v;
         }
+        /* ids must survive the i32 narrowing un-wrapped; exact range checks
+         * against nrows/ncols happen in Python (_validate_indices) */
+        if (vals[0] < 1 || vals[0] > 0x7FFFFFFFLL ||
+            vals[1] < 1 || vals[1] > 0x7FFFFFFFLL)
+            return u;
         mi[u] = (i32)(vals[0] - 1);  /* MatrixMarket is 1-based */
         mj[u] = (i32)(vals[1] - 1);
         mx[u] = (u32)(((u64)(u32)vals[2]) % prime);
@@ -179,6 +184,9 @@ i64 parse_triplets_mod64(const char *buf, i64 len, i64 nnz,
                 return u;
             vals[k] = neg ? -v : v;
         }
+        if (vals[0] < 1 || vals[0] > 0x7FFFFFFFLL ||
+            vals[1] < 1 || vals[1] > 0x7FFFFFFFLL)
+            return u;
         mi[u] = (i32)(vals[0] - 1);
         mj[u] = (i32)(vals[1] - 1);
         i64 r = vals[2] % (i64)prime;   /* C: sign follows dividend */

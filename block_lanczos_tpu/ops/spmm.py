@@ -618,6 +618,26 @@ def band_count(in_dim: int, n: int) -> int:
     return nb
 
 
+def band_bounds(in_dim: int, nbands: int):
+    """((lo, hi), ...) covering [0, in_dim) in 8-aligned bands.
+
+    Single source of truth for the band split — the single-device
+    make_banded_op and the per-shard mesh banding
+    (parallel/sharding._build_dir_banded) must cut identically or the
+    'same measured policy' claim in PERF.md silently diverges.
+    """
+    nbands = max(1, min(int(nbands), max(in_dim, 1)))
+    band = -(-in_dim // nbands)
+    band += (-band) % 8
+    out = []
+    for b in range(nbands):
+        lo, hi = b * band, min((b + 1) * band, in_dim)
+        if lo >= hi:
+            break
+        out.append((lo, hi))
+    return tuple(out)
+
+
 def make_banded_op(f: GFp, out_idx, in_idx, vals, out_dim: int, in_dim: int,
                    nbands: int, chunk: int = DEFAULT_CHUNK,
                    delta: bool = True) -> BandedOp:
@@ -625,14 +645,8 @@ def make_banded_op(f: GFp, out_idx, in_idx, vals, out_dim: int, in_dim: int,
     in_idx = np.asarray(in_idx, np.int64)
     out_idx = np.asarray(out_idx, np.int64)
     vals = np.asarray(vals, np.uint32)
-    nbands = max(1, min(int(nbands), in_dim))
-    band = -(-in_dim // nbands)
-    band += (-band) % 8
     bounds, parts = [], []
-    for b in range(nbands):
-        lo, hi = b * band, min((b + 1) * band, in_dim)
-        if lo >= hi:
-            break
+    for lo, hi in band_bounds(in_dim, nbands):
         sel = (in_idx >= lo) & (in_idx < hi)
         parts.append(make_hybrid_op(
             f, out_idx[sel], (in_idx[sel] - lo).astype(np.int32), vals[sel],

@@ -203,13 +203,8 @@ def _build_dir_banded(f: GFp, parts, out_dim: int, in_dim: int, n: int,
     if nb == 1:
         return _build_dir(f, parts, out_dim, R, C, nnz_sharding, chunk,
                           delta=delta)
-    band = -(-in_dim // nb)
-    band += (-band) % 8
     bounds, dirs = [], []
-    for b in range(nb):
-        lo, hi = b * band, min((b + 1) * band, in_dim)
-        if lo >= hi:
-            break
+    for lo, hi in spmm.band_bounds(in_dim, nb):
         sub = []
         for (oi, ii, xv) in parts:
             sel = (ii >= lo) & (ii < hi)

@@ -189,19 +189,44 @@ class CheckpointManager:
         self.verbose = verbose
         self._last = time.time()
         self.saves = 0
+        # Iteration-deterministic due-check schedule: processes only talk
+        # when `iteration` crosses the (broadcast-agreed) target, so the
+        # steady state between checkpoints costs ZERO cross-host
+        # collectives even with per-iteration callbacks (sync_every=1).
+        self._next_check_iter = 0
+        self._iter_mark = None  # (iteration, time) of the last rate sample
 
     def maybe_save(self, iteration: int, v, p_blk, start_time: float,
                    extra_time: float = 0.0):
+        if iteration < self._next_check_iter:
+            return False
         now = time.time()
         due = now - self._last >= self.interval_s
+        # root's iteration-rate estimate -> next due-check target (approach
+        # the deadline geometrically: at most ~log2 checks per interval)
+        rate = None
+        if self._iter_mark is not None:
+            i0, t0 = self._iter_mark
+            if iteration > i0 and now > t0:
+                rate = (iteration - i0) / (now - t0)
+        self._iter_mark = (iteration, now)
+        remaining_s = (self.interval_s if due
+                       else self.interval_s - (now - self._last))
+        if rate is None:
+            nxt = iteration + 1
+        else:
+            nxt = iteration + max(1, int(rate * remaining_s * 0.5))
         # Multi-process: the save is collective (every process writes its
-        # shards, then a barrier), so the wall-clock decision must be
-        # identical everywhere — take the root's verdict.
+        # shards, then a barrier), and the NEXT check target gates whether
+        # processes enter this function's collective at all — both must be
+        # identical everywhere, so take the root's verdict for both.
         import jax
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
-            due = bool(multihost_utils.broadcast_one_to_all(
-                np.asarray(due)))
+            out = multihost_utils.broadcast_one_to_all(
+                np.asarray([int(due), int(nxt)], np.int64))
+            due, nxt = bool(out[0]), int(out[1])
+        self._next_check_iter = int(nxt)
         if not due:
             return False
         self._last = now

@@ -121,6 +121,9 @@ def load_mtx(path: str, prime: int, verbose: bool = False) -> COOMatrix:
                 raise ValueError(f"parse error: expected {nnz} triplets, "
                                  f"found {len(toks)//3}")
             arr = np.array(toks[:3 * nnz], dtype=np.int64).reshape(nnz, 3)
+            # validate on the int64 values BEFORE the int32 narrowing —
+            # ids >= 2^31+1 would otherwise wrap back into range silently
+            _validate_indices(arr[:, 0] - 1, arr[:, 1] - 1, nrows, ncols)
             mi = (arr[:, 0] - 1).astype(np.int32)
             mj = (arr[:, 1] - 1).astype(np.int32)
             # mathematical v mod p (int64 % positive -> non-negative)
@@ -142,6 +145,9 @@ def load_mtx(path: str, prime: int, verbose: bool = False) -> COOMatrix:
             raise ValueError(
                 f"parse error: expected {nnz} triplets, found {len(toks)//3}")
         arr = np.array(toks[:3 * nnz], dtype=np.int64).reshape(nnz, 3)
+        # validate on the int64 values BEFORE the int32 narrowing —
+        # ids >= 2^31+1 would otherwise wrap back into range silently
+        _validate_indices(arr[:, 0] - 1, arr[:, 1] - 1, nrows, ncols)
         mi = (arr[:, 0] - 1).astype(np.int32)
         mj = (arr[:, 1] - 1).astype(np.int32)
         # reference semantics: value scanned into u32 (two's complement for

@@ -137,3 +137,62 @@ def test_skewed_matrix_sharded_bit_exact():
                               check_invariants=False).solve()
     assert got.iterations == ref.iterations
     np.testing.assert_array_equal(got.kernel, ref.kernel)
+
+
+def test_load_mtx_rejects_int32_wrapping_ids(tmp_path):
+    """1-based ids >= 2^31 must be REJECTED, not wrapped through int32 back
+    into range (e.g. id 2^32+2 -> row 2).  Covers both the native C parser
+    and the NumPy fallback."""
+    from block_lanczos_tpu.utils import mmio
+    from block_lanczos_tpu import native
+    bad_id = (1 << 32) + 2  # (id-1) wraps through int32 to +1
+    path = str(tmp_path / "wrap.mtx")
+    with open(path, "w") as fh:
+        fh.write("%%MatrixMarket matrix coordinate integer general\n")
+        fh.write("10 10 2\n")
+        fh.write("1 1 5\n")
+        fh.write(f"{bad_id} 2 7\n")
+    for wide_prime in (65537, (1 << 61) - 1):
+        with pytest.raises(ValueError):
+            mmio.load_mtx(path, wide_prime)
+    # force the NumPy fallback too
+    lib = native._lib
+    tried = native._tried
+    native._lib, native._tried = None, True
+    try:
+        for wide_prime in (65537, (1 << 61) - 1):
+            with pytest.raises(ValueError):
+                mmio.load_mtx(path, wide_prime)
+    finally:
+        native._lib, native._tried = lib, tried
+
+
+def test_checkpoint_manager_iteration_throttle(tmp_path):
+    """maybe_save must not re-examine the clock every call: between due
+    checks it returns False purely from the iteration target (the
+    multi-process steady state does zero collectives)."""
+    from block_lanczos_tpu.utils import checkpoint as ckpt
+    import numpy as np
+    mgr = ckpt.CheckpointManager(str(tmp_path / "ck"), interval_s=3600.0)
+    v = np.zeros((8, 2), np.uint32)
+    # first call samples the rate (next check = +1), second sets a real
+    # target from the measured rate; subsequent calls below the target
+    # must short-circuit without touching the clock
+    assert mgr.maybe_save(1, v, v, 0.0) is False
+    assert mgr.maybe_save(2, v, v, 0.0) is False
+    target = mgr._next_check_iter
+    assert target > 2
+    import time as _time
+    calls = []
+    orig_time = _time.time
+    try:
+        _time.time = lambda: calls.append(1) or orig_time()
+        for it in range(3, min(target, 50)):
+            assert mgr.maybe_save(it, v, v, 0.0) is False
+        assert not calls  # throttled calls never read the clock
+    finally:
+        _time.time = orig_time
+    # interval 0: saves on every due-check and keeps making progress
+    mgr2 = ckpt.CheckpointManager(str(tmp_path / "ck2"), interval_s=0.0)
+    assert mgr2.maybe_save(1, v, v, orig_time()) is True
+    assert mgr2.saves == 1

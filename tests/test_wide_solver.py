@@ -231,3 +231,22 @@ def test_wide_checker_accepts_true_kernel(tmp_path):
             fh.write(f"{a+1} {b+1} {M[a, b]}\n")
     assert checker.check_kernel_block(
         mtx, np.asarray(kvec, dtype=np.uint64)[:, None], p) is True
+
+
+def test_wide_checker_field_primitives_vs_oracle():
+    """The checker's _WideField primitives (mont_mul / mulmod) against an
+    exact Python-int oracle across the prime range."""
+    from block_lanczos_tpu.utils.checker import _WideField
+    rng = np.random.default_rng(11)
+    for p in [0x3FFFFFDD + 44,  # just past the narrow cap (odd)
+              (1 << 61) - 1, 4611686018427387847]:
+        f = _WideField(p)
+        a = rng.integers(0, p, size=4096, dtype=np.uint64)
+        b = rng.integers(0, p, size=4096, dtype=np.uint64)
+        rinv = pow(1 << 64, -1, p)
+        got_mm = f.mont_mul(a, b).astype(object)
+        exp_mm = (a.astype(object) * b.astype(object) * rinv) % p
+        assert (got_mm == exp_mm).all()
+        got = f.mulmod(a, b).astype(object)
+        exp = (a.astype(object) * b.astype(object)) % p
+        assert (got == exp).all()
