@@ -450,6 +450,16 @@ def build_hybrid_arrays(f: GFp, out_idx, in_idx, vals, out_dim: int,
         return rv % np.uint32(f.p)
 
     slab, evicted = None, 0
+    if delta and ell > 0 and out_pad > 500_000:
+        # cheap pre-check on big slabs: the full encode (per-row argsort of
+        # out_pad x ell) costs ~60 s at 51M nnz, which is wasted when the
+        # eviction policy will reject it anyway — extrapolate from a sample
+        sample = np.linspace(0, out_pad - 1, 100_000).astype(np.int64)
+        _c0, _dc, svs, (_r, _c, sev) = _delta_encode_slab(
+            cols2d[sample], rvals2d[sample].copy())
+        s_nnz = int((rvals2d[sample] != 0).sum())
+        if len(sev) > max(8, s_nnz // 100):
+            delta = False
     if delta and ell > 0:
         col0, dcols, vs, (ev_r, ev_c, ev_v) = _delta_encode_slab(
             cols2d, rvals2d)
