@@ -101,12 +101,13 @@ def bench_ours(M):
 
     # headline at the reference's benchmark config (n=4), plus the n=32
     # production config (BASELINE.json config 3), the bitsliced GF(2)
-    # factorization config, and the wide-field (p=2^61-1) config the
-    # reference cannot run at all.  The headline takes the min of two
-    # measurements, symmetric with the reference baseline (shared host /
-    # tunnel contention inflates both sides).
+    # factorization configs (n=128 for the vs-reference ratio; n=256 is
+    # the measured best time-to-solution), and the wide-field (p=2^61-1)
+    # config the reference cannot run at all.  The headline takes the min
+    # of two measurements, symmetric with the reference baseline (shared
+    # host / tunnel contention inflates both sides).
     return (min(per_iter(N_BLOCK), per_iter(N_BLOCK)), per_iter(32),
-            per_iter_gf2(128), per_iter_wide(N_BLOCK))
+            per_iter_gf2(128), per_iter_gf2(256), per_iter_wide(N_BLOCK))
 
 
 def bench_reference_seq(mtx_path, prime=PRIME, n=N_BLOCK, iters=REF_ITERS,
@@ -174,7 +175,8 @@ def main():
     from block_lanczos_tpu.utils.mmio import load_mtx
     M = load_mtx(mtx, PRIME)
 
-    ours_per_iter, ours_n32, ours_gf2_128, ours_wide = bench_ours(M)
+    (ours_per_iter, ours_n32, ours_gf2_128, ours_gf2_256,
+     ours_wide) = bench_ours(M)
     nnz_per_s = 2 * M.nnz / ours_per_iter  # two SpMV passes per iteration
 
     ref_per_iter = bench_reference_seq(mtx)
@@ -215,6 +217,11 @@ def main():
                 round(ref_gf2_128, 6) if ref_gf2_128 else None,
             "gf2_n128_vs_baseline":
                 round(ref_gf2_128 / ours_gf2_128, 3) if ref_gf2_128 else None,
+            # n=256 halves the iteration count again for ~1.25x the
+            # per-iteration cost — the measured best GF(2) time-to-solution
+            "gf2_n256_s_per_iteration": round(ours_gf2_256, 6),
+            "gf2_n256_tts_speedup_vs_n128":
+                round(ours_gf2_128 * 256 / (ours_gf2_256 * 128), 2),
             # wide field p=2^61-1, n=4 (beyond the reference's 2^30-35 cap)
             "wide_p61_s_per_iteration": round(ours_wide, 6),
         },
