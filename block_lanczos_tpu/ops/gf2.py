@@ -70,19 +70,42 @@ def bit_of(wordsarr, k: int):
     return jnp.where(bit == 1, u32(0xFFFFFFFF), u32(0))
 
 
+# Unroll limit for matmul_gf2's k loop.  Beyond it, walk WORDS with a
+# fori_loop (32 unrolled bit steps per word): at n=256 / N=3M the fully
+# unrolled jaxpr made the remote TPU compile helper OOM (SIGKILL).
+_MATMUL_UNROLL = 128
+
+
 def matmul_gf2(X_words, B_words, n_in: int):
     """(N, Win) bit block @ (n_in, Wout) bit matrix over GF(2).
 
     y[r] = XOR over k of (bit k of X row r) * B[k]; the k loop unrolls at
-    trace time (n_in <= 128) and XLA fuses it into one pass over X.
+    trace time up to _MATMUL_UNROLL inputs, then switches to a word-level
+    fori_loop (same math; bounded program size for wide blocks at scale).
     """
     N = X_words.shape[0]
     Wout = B_words.shape[1]
-    y = jnp.zeros((N, Wout), u32)
-    for k in range(n_in):  # unrolled: no loop carry, vma-safe
-        mask = bit_of(X_words, k)[:, None]           # (N, 1)
-        y = y ^ (mask & B_words[k][None, :])
-    return y
+    if n_in <= _MATMUL_UNROLL:
+        y = jnp.zeros((N, Wout), u32)
+        for k in range(n_in):  # unrolled: no loop carry, vma-safe
+            mask = bit_of(X_words, k)[:, None]           # (N, 1)
+            y = y ^ (mask & B_words[k][None, :])
+        return y
+
+    assert n_in % WORD == 0  # block widths are multiples of 32 by contract
+
+    def word_step(w, y):
+        xw = jax.lax.dynamic_index_in_dim(X_words, w, 1, keepdims=False)
+        for b in range(WORD):  # 32 unrolled bit steps per word
+            bit = (xw >> u32(b)) & u32(1)
+            mask = jnp.where(bit == 1, u32(0xFFFFFFFF), u32(0))[:, None]
+            y = y ^ (mask & jax.lax.dynamic_index_in_dim(
+                B_words, w * WORD + b, 0, keepdims=False)[None, :])
+        return y
+
+    from block_lanczos_tpu.ops.gfp import zeros_vma_like
+    y0 = zeros_vma_like(X_words, (N, Wout))  # fori carry: X's vma type
+    return jax.lax.fori_loop(0, n_in // WORD, word_step, y0)
 
 
 # row-chunk size for the Gram scan (module constant so tests can force the
