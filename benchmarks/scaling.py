@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--n", type=int, default=4)
     ap.add_argument("--prime", type=int, default=1073741789)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--skewed", action="store_true",
+                    help="power-law row weights (factorization-shaped "
+                         "instance) instead of uniform")
     ap.add_argument("--out", default="/tmp/blanczos_scaling.csv")
     args = ap.parse_args()
 
@@ -46,12 +49,23 @@ def main():
     import numpy as np
 
     from block_lanczos_tpu.ops.gfp import PRIME_CAP
-    from block_lanczos_tpu.utils.gen import random_sparse
+    from block_lanczos_tpu.utils.gen import random_sparse, \
+        random_sparse_skewed
     from block_lanczos_tpu.utils.mmio import COOMatrix
     from block_lanczos_tpu.parallel import make_mesh
     from block_lanczos_tpu.parallel.distributed import ShardedBlockLanczos
 
-    i, j, x = random_sparse(args.nrows, args.ncols, args.density, seed=42)
+    if args.skewed:
+        # Zipf ROW weights: generate with skewed columns, then transpose —
+        # the kernel dimension carries the skew, the shape the balanced
+        # partition (parallel/sharding.balanced_band_map) exists for
+        j, i, x = random_sparse_skewed(args.ncols, args.nrows,
+                                       args.density, seed=42)
+        order = __import__("numpy").lexsort((j, i))
+        i, j, x = i[order], j[order], x[order]
+    else:
+        i, j, x = random_sparse(args.nrows, args.ncols, args.density,
+                                seed=42)
     # field selection matches the CLI: p=2 (n%32==0) -> bitsliced GF(2);
     # p > 2^30-35 -> wide pairs; otherwise narrow
     if args.prime == 2 and args.n % 32 == 0:
@@ -95,13 +109,21 @@ def main():
         if base is None:
             base = per_iter
         eff = base / (per_iter * k)
-        rows.append((k, per_iter, nnz_s, eff))
+        st = solver.ops.stats
+        nnz_arr = st.shard_nnz.astype(float)
+        imb = float(nnz_arr.max() / max(nnz_arr.mean(), 1.0))
+        slots = st.total_slab_slots + st.total_spill_slots
+        rows.append((k, per_iter, nnz_s, eff, imb, slots,
+                     int(st.row_balanced or st.col_balanced)))
         print(f"mesh={k:3d}  {per_iter*1000:9.2f} ms/iter  "
-              f"{nnz_s/1e6:9.1f} Mnnz/s  efficiency={eff:6.1%}")
+              f"{nnz_s/1e6:9.1f} Mnnz/s  efficiency={eff:6.1%}  "
+              f"shard-imb={imb:4.2f}x  slots={slots}")
 
     with open(args.out, "w", newline="") as fh:
         w = csv.writer(fh)
-        w.writerow(["mesh_size", "s_per_iteration", "nnz_per_s", "efficiency"])
+        w.writerow(["mesh_size", "s_per_iteration", "nnz_per_s",
+                    "efficiency", "max_shard_nnz_over_mean", "total_slots",
+                    "balanced_layout"])
         w.writerows(rows)
     print(f"wrote {args.out}", file=sys.stderr)
 

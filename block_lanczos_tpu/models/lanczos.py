@@ -64,6 +64,33 @@ def fit_rows(arr, rows: int) -> np.ndarray:
     return np.concatenate([arr, pad])
 
 
+def state_rows(state: dict, name: str) -> np.ndarray:
+    """A checkpoint block in TRUE row order.
+
+    Skew-balanced mesh solvers store vector blocks in a permuted band
+    layout and record the padded-position -> true-index map as `rowmap`
+    in the snapshot (parallel/sharding.BandMap.rowmap).  Un-permute here
+    so any solver — single-device, any mesh shape, any band layout — can
+    resume from any checkpoint.  Without a rowmap the layout is the
+    identity zero-padded one and the block passes through (fit_rows
+    handles the trailing-zero trimming).
+    """
+    arr = np.asarray(state[name])
+    rm = state.get("rowmap")
+    if rm is None:
+        return arr
+    rm = np.asarray(rm)
+    if rm.shape[0] != arr.shape[0]:
+        raise ValueError(
+            f"checkpoint rowmap covers {rm.shape[0]} rows but block "
+            f"{name!r} has {arr.shape[0]}")
+    dim = int(rm.max()) + 1
+    out = np.zeros((dim,) + arr.shape[1:], arr.dtype)
+    sel = rm >= 0
+    out[rm[sel]] = arr[sel]
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Device-side phases
 # ---------------------------------------------------------------------------
@@ -363,8 +390,10 @@ class BlockLanczos:
             p_blk = jnp.zeros((self.np_rows, self.n), u32)
             start_iter = 0
         else:
-            v = jnp.asarray(fit_rows(resume_state["v"], self.np_rows))
-            p_blk = jnp.asarray(fit_rows(resume_state["p"], self.np_rows))
+            v = jnp.asarray(fit_rows(state_rows(resume_state, "v"),
+                                     self.np_rows))
+            p_blk = jnp.asarray(fit_rows(state_rows(resume_state, "p"),
+                                         self.np_rows))
             start_iter = int(resume_state["iteration"])
         if verbose:
             print("Block Lanczos")

@@ -18,7 +18,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from block_lanczos_tpu.models.lanczos import SolveResult, fit_rows, pad_rows
+from block_lanczos_tpu.models.lanczos import (SolveResult, fit_rows,
+                                               pad_rows, state_rows)
 from block_lanczos_tpu.ops import gf2
 from block_lanczos_tpu.ops.gf2 import WORD, words
 from block_lanczos_tpu.ops.gfp import u32
@@ -298,8 +299,10 @@ class BlockLanczosGF2:
             p_blk = jnp.zeros((self.np_rows, self.W), u32)
             n_iterations = 0
         else:
-            v = jnp.asarray(fit_rows(resume_state["v"], self.np_rows))
-            p_blk = jnp.asarray(fit_rows(resume_state["p"], self.np_rows))
+            v = jnp.asarray(fit_rows(state_rows(resume_state, "v"),
+                                     self.np_rows))
+            p_blk = jnp.asarray(fit_rows(state_rows(resume_state, "p"),
+                                         self.np_rows))
             n_iterations = int(resume_state["iteration"])
         if verbose:
             print("Block Lanczos [GF(2) bitsliced]")

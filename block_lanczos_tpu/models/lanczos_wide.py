@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from block_lanczos_tpu.models.lanczos import SolveResult, fit_rows, pad_rows
+from block_lanczos_tpu.models.lanczos import (SolveResult, fit_rows,
+                                               pad_rows, state_rows)
 from block_lanczos_tpu.ops import gfp_wide as gw
 from block_lanczos_tpu.ops import wide_ops as wo
 from block_lanczos_tpu.ops.gfp import u32
@@ -163,8 +164,10 @@ class BlockLanczosWide:
             p_blk = jnp.zeros((self.np_rows, self.n, 2), u32)
             n_iterations = 0
         else:
-            v = jnp.asarray(fit_rows(resume_state["v"], self.np_rows))
-            p_blk = jnp.asarray(fit_rows(resume_state["p"], self.np_rows))
+            v = jnp.asarray(fit_rows(state_rows(resume_state, "v"),
+                                     self.np_rows))
+            p_blk = jnp.asarray(fit_rows(state_rows(resume_state, "p"),
+                                         self.np_rows))
             n_iterations = int(resume_state["iteration"])
         if verbose:
             print("Block Lanczos [wide field]")

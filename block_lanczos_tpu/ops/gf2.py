@@ -112,6 +112,13 @@ def matmul_gf2(X_words, B_words, n_in: int):
 # chunked path at small sizes)
 _GRAM_CHUNK = 1 << 16
 
+# Unroll limit for gram_gf2's output-row loop.  The flagship n=128 config
+# (n_x = 2n = 256) stays on the measured fully-unrolled path; n=256
+# (n_x = 512) switches to the word-level fori_loop so the jaxpr stops
+# scaling with n — at 51M nnz the unrolled n=256 program was uncompilable
+# on the remote toolchain (PERF.md "blocking sweep").
+_GRAM_UNROLL = 256
+
 
 def gram_gf2(X_words, Y_words, n_x: int):
     """X^T @ Y over GF(2): (n_x, Wy) word matrix of parities.
@@ -121,13 +128,36 @@ def gram_gf2(X_words, Y_words, n_x: int):
     """
     N, Wy = Y_words.shape
     chunk = _GRAM_CHUNK
+    from block_lanczos_tpu.ops.gfp import zeros_vma_like
 
-    def chunk_gram(Xc, Yc):
+    def chunk_gram_unrolled(Xc, Yc):
         rows = []
         for a in range(n_x):
             mask = bit_of(Xc, a)[:, None]
             rows.append(xor_reduce(mask & Yc, axis=0))
         return jnp.stack(rows)                       # (n_x, Wy)
+
+    def chunk_gram_words(Xc, Yc):
+        # word-level: one fori step per X word column computes 32 output
+        # rows (32 unrolled bit parities) — program size independent of n_x
+        def word_step(w, G):
+            xw = jax.lax.dynamic_index_in_dim(Xc, w, 1, keepdims=False)
+            rows = []
+            for b in range(WORD):
+                bit = (xw >> u32(b)) & u32(1)
+                mask = jnp.where(bit == 1, u32(0xFFFFFFFF), u32(0))[:, None]
+                rows.append(xor_reduce(mask & Yc, axis=0))
+            return jax.lax.dynamic_update_slice(
+                G, jnp.stack(rows), (w * WORD, 0))
+
+        G0 = zeros_vma_like(Xc, (n_x, Yc.shape[1]))  # carry: Xc's vma type
+        return jax.lax.fori_loop(0, n_x // WORD, word_step, G0)
+
+    if n_x <= _GRAM_UNROLL:
+        chunk_gram = chunk_gram_unrolled
+    else:
+        assert n_x % WORD == 0  # wide blocks are multiples of 32 by contract
+        chunk_gram = chunk_gram_words
 
     if N <= chunk:
         return chunk_gram(X_words, Y_words)
@@ -141,7 +171,6 @@ def gram_gf2(X_words, Y_words, n_x: int):
         Xc, Yc = xy
         return acc ^ chunk_gram(Xc, Yc), None
 
-    from block_lanczos_tpu.ops.gfp import zeros_vma_like
     acc0 = zeros_vma_like(X_words, (n_x, Wy))  # carry needs X's vma type
     acc, _ = jax.lax.scan(
         body, acc0,
@@ -150,19 +179,39 @@ def gram_gf2(X_words, Y_words, n_x: int):
     return acc
 
 
+def _transpose32_blocks(a):
+    """Transpose each trailing-(32,) group of words as a 32x32 bit matrix.
+
+    The standard 5-stage masked shift-XOR butterfly (delta swaps at
+    16/8/4/2/1), vectorized over leading axes: O(1) program size vs the
+    per-bit unroll it replaces, which scaled the jaxpr with n.  Mirrored
+    for the little-endian packing convention (bit c of a word = column c,
+    pack_bits_np) — the textbook formulation assumes MSB-first rows.
+    """
+    shape = a.shape
+    for j, m in ((16, 0x0000FFFF), (8, 0x00FF00FF), (4, 0x0F0F0F0F),
+                 (2, 0x33333333), (1, 0x55555555)):
+        m = u32(m)
+        g = a.reshape(shape[:-1] + (WORD // (2 * j), 2, j))
+        lo, hi = g[..., 0, :], g[..., 1, :]
+        t = ((lo >> u32(j)) ^ hi) & m
+        hi = hi ^ t
+        lo = lo ^ (t << u32(j))
+        a = jnp.stack([lo, hi], axis=-2).reshape(shape)
+    return a
+
+
 def transpose_bits(M_words, n: int):
-    """(n, W) bit matrix -> its transpose as (n, W) words (n <= 128)."""
-    cols = []
-    for a in range(n):
-        cols.append((bit_of(M_words, a) & u32(1)).astype(u32))  # (n,)
-    bits = jnp.stack(cols, axis=1)          # (n_rows=n, n_cols=n) -> wait:
-    # bits[r, a] = bit a of row r; transpose: out bit r of row a
-    bits_t = bits.T                          # (a, r)
+    """(n, W) bit matrix -> its transpose as (n, W) words.
+
+    Tiled into 32x32 bit blocks: butterfly-transpose every block, then swap
+    the block grid.  Word-level throughout — no per-bit trace-time unroll.
+    """
     W = words(n)
-    shifts = jnp.arange(WORD, dtype=u32)
-    packed = (bits_t.reshape(n, W, WORD).astype(u32) << shifts).sum(
-        axis=2, dtype=u32)
-    return packed
+    blocks = M_words.reshape(W, WORD, W).transpose(0, 2, 1)  # [I, J, 32]
+    tb = _transpose32_blocks(blocks)       # tb[I, J] = M block (I, J)^T
+    # T block (I, J) = transpose of M block (J, I)
+    return tb.transpose(1, 0, 2).transpose(0, 2, 1).reshape(n, W)
 
 
 def semi_inverse_gf2(U_words, n: int):

@@ -106,7 +106,12 @@ def build_op_arrays(f: GFp, out_idx, in_idx, vals, out_dim: int,
     rowptr = np.searchsorted(out_idx, np.arange(out_dim + 1)).astype(np.int32)
     seg_safe = bool((np.diff(rowptr) <= gfp.LIMB_SUM_MAX).all())
     target = max(nnz, pad_to or 0, 1)
-    target += (-target) % chunk
+    # The chunked-scan fallback reshapes to (nchunks, chunk), so its arrays
+    # must be chunk multiples; the prefix path accepts any length, and
+    # rounding a few-thousand-entry spill sidecar up to 2^17 was measured
+    # to dominate the slot count of balanced sharded partitions (round-3
+    # skew work) — pad those to the 8-row tile only.
+    target += (-target) % (8 if seg_safe else chunk)
     pad = target - nnz
     if pad:
         # zero-valued padding entries scatter 0; pad out_idx with the last
@@ -215,7 +220,13 @@ def _spmv_scan(f: GFp, op: SparseOp, x, out_rows: int):
     """Fallback for pathological segment lengths (> 2^17 nnz in one row):
     chunked scan where each chunk's segments are bounded by the chunk size."""
     n = x.shape[1]
-    padded_nnz = op.out_idx.shape[0]
+    out_idx, in_idx, val_mont = op.out_idx, op.in_idx, op.val_mont
+    rem = (-out_idx.shape[0]) % op.chunk
+    if rem:  # arrays built for the prefix path are only 8-aligned
+        out_idx = jnp.pad(out_idx, (0, rem), mode="edge")  # keep sorted
+        in_idx = jnp.pad(in_idx, (0, rem))
+        val_mont = jnp.pad(val_mont, (0, rem))  # zero values scatter 0
+    padded_nnz = out_idx.shape[0]
     nchunks = padded_nnz // op.chunk
 
     def one_chunk(oi, ii, vm):
@@ -228,7 +239,7 @@ def _spmv_scan(f: GFp, op: SparseOp, x, out_rows: int):
         return hi_s, lo_s
 
     if nchunks == 1:
-        hi_s, lo_s = one_chunk(op.out_idx, op.in_idx, op.val_mont)
+        hi_s, lo_s = one_chunk(out_idx, in_idx, val_mont)
         return gfp.limb_combine(f, hi_s, lo_s)
 
     def body(y, chunk):
@@ -236,9 +247,9 @@ def _spmv_scan(f: GFp, op: SparseOp, x, out_rows: int):
         hi_s, lo_s = one_chunk(oi, ii, vm)
         return gfp.modadd(f, y, gfp.limb_combine(f, hi_s, lo_s)), None
 
-    chunks = (op.out_idx.reshape(nchunks, op.chunk),
-              op.in_idx.reshape(nchunks, op.chunk),
-              op.val_mont.reshape(nchunks, op.chunk))
+    chunks = (out_idx.reshape(nchunks, op.chunk),
+              in_idx.reshape(nchunks, op.chunk),
+              val_mont.reshape(nchunks, op.chunk))
     y0 = gfp.zeros_vma_like(x, (out_rows, n))  # match x's vma type
     y, _ = jax.lax.scan(body, y0, chunks)
     return y
@@ -290,23 +301,45 @@ class HybridOp:
         return cls(out_dim, in_dim, nnz, ell, cols, vals, spill, col0, dcols)
 
 
+def _ell_candidates(counts: np.ndarray) -> np.ndarray:
+    counts = np.asarray(counts)
+    if counts.size == 0 or counts.max() == 0:
+        return np.array([1], np.int64)
+    cands = np.unique(np.concatenate([
+        np.percentile(counts[counts > 0], [50, 75, 90, 95, 99, 100])
+        .astype(np.int64),
+        [1, int(counts.mean() + 1)]]))
+    return cands[cands >= 1]
+
+
 def choose_ell_width(counts: np.ndarray, spill_cost: float = 3.0) -> int:
     """Pick the slab width minimizing  rows*L + spill_cost*spill_nnz(L).
 
     spill_cost models the prefix path's per-entry overhead vs a slab slot.
     """
-    counts = np.asarray(counts)
-    if counts.size == 0 or counts.max() == 0:
-        return 1
-    cands = np.unique(np.concatenate([
-        np.percentile(counts[counts > 0], [50, 75, 90, 95, 99, 100])
-        .astype(np.int64),
-        [1, int(counts.mean() + 1)]]))
-    cands = cands[cands >= 1]
+    return choose_ell_width_multi([counts], spill_cost=spill_cost)
+
+
+def choose_ell_width_multi(counts_list, spill_cost: float = 3.0) -> int:
+    """One slab width for SEVERAL shards, minimizing the TOTAL cost
+    sum_s(rows_s*L + spill_cost*spill_s(L)).
+
+    shard_map needs a uniform per-shard width; taking the max of per-shard
+    choices lets ONE dense shard inflate every shard's slab (measured
+    5.5-12.5x total slot inflation on power-law matrices vs single device —
+    the reference's raw-COO MPI shards have no such coupling,
+    mpi/lanczos_modp.c:623-964).  Minimizing the summed cost instead makes
+    the dense shard spill to its prefix-sum sidecar while the others keep
+    slim slabs.
+    """
+    counts_list = [np.asarray(c) for c in counts_list]
+    cands = sorted({int(L) for c in counts_list for L in _ell_candidates(c)})
     best, best_cost = 1, None
     for L in cands:
-        spill = np.maximum(counts - L, 0).sum()
-        cost = float(len(counts) * L + spill_cost * spill)
+        cost = 0.0
+        for c in counts_list:
+            spill = int(np.maximum(c - L, 0).sum()) if c.size else 0
+            cost += float(c.size * L + spill_cost * spill)
         if best_cost is None or cost < best_cost:
             best, best_cost = int(L), cost
     return best

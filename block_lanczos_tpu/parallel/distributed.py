@@ -176,6 +176,8 @@ class ShardedBlockLanczos:
         self.n_eff = self.ops.n_eff
         self.m_eff = self.ops.m_eff
         self.np_rows = self.ops.np_rows
+        self.row_map = self.ops.row_map   # band layout of the kernel dim
+        self.col_map = self.ops.col_map   # band layout of the other dim
         self.expected_iterations = 1 + self.m_eff // self.n
         self._rng = Xoshiro256Plus()
         self._vec_sharding = NamedSharding(self.mesh, P(ROWS_AXIS, None))
@@ -216,10 +218,14 @@ class ShardedBlockLanczos:
         self.sync_every = sync_every
 
     def initial_block(self):
-        """Global v0 from the sequential xoshiro stream, then shard."""
+        """Global v0 from the sequential xoshiro stream, then shard.
+
+        The xoshiro block is defined over TRUE kernel rows (bit-exact with
+        the reference); row_map.scatter places it into this mesh's (possibly
+        nnz-balanced) band layout — the iterates are layout-independent
+        because mod-p arithmetic is exact."""
         block = self._rng.fill_mod(self.n_eff * self.n, self.f.p)
-        v0 = np.zeros((self.np_rows, self.n), np.uint32)
-        v0[:self.n_eff] = block.reshape(self.n_eff, self.n)
+        v0 = self.row_map.scatter(block.reshape(self.n_eff, self.n))
         return put_global(v0, self._vec_sharding)
 
     def _step_args(self):
@@ -245,16 +251,18 @@ class ShardedBlockLanczos:
                 self._vec_sharding)
             n_iterations = 0
         else:
-            v = put_global(single.fit_rows(resume_state["v"],
-                                           self.np_rows),
-                           self._vec_sharding)
-            p_blk = put_global(single.fit_rows(resume_state["p"],
-                                               self.np_rows),
-                               self._vec_sharding)
+            v = put_global(self.row_map.scatter(single.fit_rows(
+                single.state_rows(resume_state, "v"), self.n_eff)),
+                self._vec_sharding)
+            p_blk = put_global(self.row_map.scatter(single.fit_rows(
+                single.state_rows(resume_state, "p"), self.n_eff)),
+                self._vec_sharding)
             n_iterations = int(resume_state["iteration"])
         if verbose:
             R, C = ops.grid
             print(f"Block Lanczos [sharded {R}x{C}]")
+            if ops.stats is not None:
+                print(ops.stats.summary())
             print(f"  - Expecting {self.expected_iterations} iterations")
             print("  - Main loop")
 
@@ -272,11 +280,11 @@ class ShardedBlockLanczos:
                 inv_fail=inv_fail if self.check_invariants else None,
                 solver=self)
         elapsed = time.time() - start
-        v_host = fetch_global(v)
+        v_host = self.row_map.gather(fetch_global(v))   # true row order
         v_nonzero = product_zero = None
         vtM = None
         if not stopped_by_limit:
-            tmp_host = fetch_global(tmp)
+            tmp_host = self.col_map.gather(fetch_global(tmp))
             v_nonzero, product_zero = single.final_check(
                 v_host, tmp_host, self.n_eff, self.m_eff, verbose)
             if product_zero is False:

@@ -19,13 +19,15 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from block_lanczos_tpu.models import lanczos_gf2 as lg
-from block_lanczos_tpu.models.lanczos import SolveResult, fit_rows
+from block_lanczos_tpu.models.lanczos import (SolveResult, fit_rows,
+                                               state_rows)
 from block_lanczos_tpu.ops import gf2
 from block_lanczos_tpu.ops.gf2 import WORD, words
 from block_lanczos_tpu.ops.gfp import u32
 from block_lanczos_tpu.parallel.mesh import COLS_AXIS, ROWS_AXIS
 from block_lanczos_tpu.parallel.multihost import fetch_global, put_global
-from block_lanczos_tpu.parallel.sharding import _band_size
+from block_lanczos_tpu.parallel.sharding import (DirStats, PartitionStats,
+                                                 _grid_maps, _grid_parts)
 from block_lanczos_tpu.utils.mmio import COOMatrix
 from block_lanczos_tpu.utils.rng import Xoshiro256Plus
 
@@ -73,6 +75,9 @@ class GF2ShardedOps:
     m_eff: int
     first: _GF2StackedDir
     second: _GF2StackedDir
+    row_map = None     # BandMap of the kernel dimension
+    col_map = None     # BandMap of the other dimension
+    stats: PartitionStats | None = None
 
     def _local(self, d: _GF2StackedDir, out_dim: int, in_dim: int,
                leaves) -> lg.GF2Op:
@@ -94,33 +99,23 @@ def partition_matrix_gf2(M: COOMatrix, right: bool, mesh: jax.sharding.Mesh,
     C = mesh.shape[COLS_AXIS]
     odd = (np.asarray(M.x) & 1) == 1
     mi, mj = M.i[odd], M.j[odd]
-    n_eff = M.ncols if right else M.nrows
-    m_eff = M.nrows if right else M.ncols
-    key = (mj if right else mi).astype(np.int64)
-    other = (mi if right else mj).astype(np.int64)
-    band = _band_size(n_eff, R, pad_multiple)
-    mband = _band_size(m_eff, C, pad_multiple)
+    # balance on the surviving (odd) entries only — they ARE the operator
+    n_eff, m_eff, key, other, row_map, col_map = _grid_maps(
+        mi, mj, M.nrows, M.ncols, right, R, C, pad_multiple)
+    band, mband = row_map.band, col_map.band
 
-    rshard = key // band
-    cshard = other // mband
-    first_parts, second_parts = [], []
-    for r in range(R):
-        for c in range(C):
-            sel = (rshard == r) & (cshard == c)
-            lk = (key[sel] - r * band).astype(np.int32)
-            lo = (other[sel] - c * mband).astype(np.int32)
-            first_parts.append((lo, lk))
-            second_parts.append((lk, lo))
+    (first3, second3), shard_nnz = _grid_parts(key, other, None,
+                                               row_map, col_map)
+    first_parts = [(lo, lk) for (lo, lk, _x) in first3]
+    second_parts = [(lk, lo) for (lk, lo, _x) in second3]
 
     nnz_sharding = NamedSharding(mesh, P(ROWS_AXIS, COLS_AXIS))
 
     def build_dir(parts, out_dim) -> _GF2StackedDir:
-        from block_lanczos_tpu.ops.spmm import choose_ell_width
-        ell = 1
-        for (oi, _ii) in parts:
-            counts = (np.bincount(oi, minlength=out_dim) if len(oi)
-                      else np.zeros(out_dim, np.int64))
-            ell = max(ell, choose_ell_width(counts))
+        from block_lanczos_tpu.ops.spmm import choose_ell_width_multi
+        ell = choose_ell_width_multi(
+            [np.bincount(oi, minlength=out_dim) if len(oi)
+             else np.zeros(out_dim, np.int64) for (oi, _ii) in parts])
         built, spill_pad = [], 1
         for (oi, ii) in parts:
             arrs = lg.build_gf2_arrays(oi, ii, out_dim, ell=ell)
@@ -146,10 +141,22 @@ def partition_matrix_gf2(M: COOMatrix, right: bool, mesh: jax.sharding.Mesh,
 
     first = build_dir(first_parts, mband)
     second = build_dir(second_parts, band)
-    return GF2ShardedOps(grid=(R, C), band=band, mband=mband,
-                         np_rows=band * R, mp_rows=mband * C,
-                         n_eff=n_eff, m_eff=m_eff,
-                         first=first, second=second)
+
+    def dstats(d):
+        return DirStats(ell=d.ell,
+                        slab_slots=int(np.prod(d.cols.shape[:4])),
+                        spill_slots=int(np.prod(d.spill_out.shape)))
+
+    ops = GF2ShardedOps(grid=(R, C), band=band, mband=mband,
+                        np_rows=band * R, mp_rows=mband * C,
+                        n_eff=n_eff, m_eff=m_eff,
+                        first=first, second=second)
+    ops.row_map, ops.col_map = row_map, col_map
+    ops.stats = PartitionStats(grid=(R, C), shard_nnz=shard_nnz,
+                               row_balanced=not row_map.identity,
+                               col_balanced=not col_map.identity,
+                               first=dstats(first), second=dstats(second))
+    return ops
 
 
 def _local_step(ops: GF2ShardedOps, n: int, check: bool,
@@ -212,6 +219,8 @@ class ShardedBlockLanczosGF2:
         self.n_eff = self.ops.n_eff
         self.m_eff = self.ops.m_eff
         self.np_rows = self.ops.np_rows
+        self.row_map = self.ops.row_map
+        self.col_map = self.ops.col_map
         self.expected_iterations = 1 + self.m_eff // self.n
         self._rng = Xoshiro256Plus()
         self._vec_sharding = NamedSharding(self.mesh, P(ROWS_AXIS, None))
@@ -234,8 +243,8 @@ class ShardedBlockLanczosGF2:
 
     def initial_block(self):
         bits = self._rng.fill_mod(self.n_eff * self.n, 2)
-        block = np.zeros((self.np_rows, self.n), np.uint32)
-        block[:self.n_eff] = bits.reshape(self.n_eff, self.n)
+        block = self.row_map.scatter(
+            bits.reshape(self.n_eff, self.n).astype(np.uint32))
         return put_global(gf2.pack_bits_np(block), self._vec_sharding)
 
     def _step_args(self):
@@ -257,14 +266,18 @@ class ShardedBlockLanczosGF2:
                                    self._vec_sharding)
             n_iterations = 0
         else:
-            v = put_global(fit_rows(resume_state["v"], self.np_rows),
-                               self._vec_sharding)
-            p_blk = put_global(fit_rows(resume_state["p"], self.np_rows),
-                                   self._vec_sharding)
+            v = put_global(self.row_map.scatter(fit_rows(
+                state_rows(resume_state, "v"), self.n_eff)),
+                self._vec_sharding)
+            p_blk = put_global(self.row_map.scatter(fit_rows(
+                state_rows(resume_state, "p"), self.n_eff)),
+                self._vec_sharding)
             n_iterations = int(resume_state["iteration"])
         if verbose:
             R, C = self.ops.grid
             print(f"Block Lanczos [GF(2) bitsliced, sharded {R}x{C}]")
+            if self.ops.stats is not None:
+                print(self.ops.stats.summary())
             print(f"  - Expecting {self.expected_iterations} iterations")
             print("  - Main loop")
 
@@ -284,12 +297,13 @@ class ShardedBlockLanczosGF2:
                 inv_fail=inv_fail if self.check_invariants else None,
                 solver=self)
         elapsed = time.time() - start
-        v_bits = gf2.unpack_bits_np(fetch_global(v), self.n)
+        v_bits = self.row_map.gather(
+            gf2.unpack_bits_np(fetch_global(v), self.n))
         v_nonzero = product_zero = None
         vtM = None
         if not stopped_by_limit:
-            tmp_bits = gf2.unpack_bits_np(
-                fetch_global(tmp), self.n)
+            tmp_bits = self.col_map.gather(gf2.unpack_bits_np(
+                fetch_global(tmp), self.n))
             v_nonzero = bool((v_bits[:self.n_eff] != 0).any())
             product_zero = bool((tmp_bits[:self.m_eff] == 0).all())
             if not product_zero:

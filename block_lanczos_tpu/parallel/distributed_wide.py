@@ -21,7 +21,8 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from block_lanczos_tpu.models import lanczos_wide as lw
-from block_lanczos_tpu.models.lanczos import SolveResult, fit_rows
+from block_lanczos_tpu.models.lanczos import (SolveResult, fit_rows,
+                                               state_rows)
 from block_lanczos_tpu.ops import gfp_wide as gw
 from block_lanczos_tpu.ops import wide_ops as wo
 from block_lanczos_tpu.ops.gfp import u32
@@ -29,7 +30,8 @@ from block_lanczos_tpu.ops.gfp_wide import GFpWide
 from block_lanczos_tpu.parallel.collectives import psum_mod_wide
 from block_lanczos_tpu.parallel.mesh import COLS_AXIS, ROWS_AXIS
 from block_lanczos_tpu.parallel.multihost import fetch_global, put_global
-from block_lanczos_tpu.parallel.sharding import _band_size
+from block_lanczos_tpu.parallel.sharding import (DirStats, PartitionStats,
+                                                 _grid_maps, _grid_parts)
 from block_lanczos_tpu.utils.mmio import COOMatrix
 from block_lanczos_tpu.utils.rng import Xoshiro256Plus
 
@@ -60,6 +62,9 @@ class WideShardedOps:
     m_eff: int
     first: _WideStackedDir
     second: _WideStackedDir
+    row_map = None     # BandMap of the kernel dimension
+    col_map = None     # BandMap of the other dimension
+    stats: PartitionStats | None = None
 
     def _local(self, d: _WideStackedDir, out_dim: int, in_dim: int,
                leaves) -> wo.WideHybridOp:
@@ -82,35 +87,21 @@ def partition_matrix_wide(f: GFpWide, M: COOMatrix, right: bool,
                           pad_multiple: int = 8) -> WideShardedOps:
     R = mesh.shape[ROWS_AXIS]
     C = mesh.shape[COLS_AXIS]
-    n_eff = M.ncols if right else M.nrows
-    m_eff = M.nrows if right else M.ncols
-    key = (M.j if right else M.i).astype(np.int64)
-    other = (M.i if right else M.j).astype(np.int64)
-    band = _band_size(n_eff, R, pad_multiple)
-    mband = _band_size(m_eff, C, pad_multiple)
+    n_eff, m_eff, key, other, row_map, col_map = _grid_maps(
+        M.i, M.j, M.nrows, M.ncols, right, R, C, pad_multiple)
+    band, mband = row_map.band, col_map.band
 
     x_obj = np.asarray(M.x, dtype=object)
-    rshard = key // band
-    cshard = other // mband
-    first_parts, second_parts = [], []
-    for r in range(R):
-        for c in range(C):
-            sel = (rshard == r) & (cshard == c)
-            lk = (key[sel] - r * band).astype(np.int32)
-            lo = (other[sel] - c * mband).astype(np.int32)
-            xv = x_obj[sel]
-            first_parts.append((lo, lk, xv))
-            second_parts.append((lk, lo, xv))
+    (first_parts, second_parts), shard_nnz = _grid_parts(
+        key, other, x_obj, row_map, col_map)
 
     nnz_sharding = NamedSharding(mesh, P(ROWS_AXIS, COLS_AXIS))
 
     def build_dir(parts, out_dim) -> _WideStackedDir:
-        from block_lanczos_tpu.ops.spmm import choose_ell_width
-        ell = 1
-        for (oi, _ii, _xv) in parts:
-            counts = (np.bincount(oi, minlength=out_dim) if len(oi)
-                      else np.zeros(out_dim, np.int64))
-            ell = max(ell, choose_ell_width(counts))
+        from block_lanczos_tpu.ops.spmm import choose_ell_width_multi
+        ell = choose_ell_width_multi(
+            [np.bincount(oi, minlength=out_dim) if len(oi)
+             else np.zeros(out_dim, np.int64) for (oi, _ii, _xv) in parts])
         built, spill_pad = [], 1
         for (oi, ii, xv) in parts:
             arrs = wo.build_wide_hybrid_arrays(f, oi, ii, xv, out_dim,
@@ -140,10 +131,22 @@ def partition_matrix_wide(f: GFpWide, M: COOMatrix, right: bool,
 
     first = build_dir(first_parts, mband)
     second = build_dir(second_parts, band)
-    return WideShardedOps(grid=(R, C), band=band, mband=mband,
-                          np_rows=band * R, mp_rows=mband * C,
-                          n_eff=n_eff, m_eff=m_eff,
-                          first=first, second=second)
+
+    def dstats(d):
+        return DirStats(ell=d.ell,
+                        slab_slots=int(np.prod(d.vals.shape[:4])),
+                        spill_slots=int(np.prod(d.spill_out.shape)))
+
+    ops = WideShardedOps(grid=(R, C), band=band, mband=mband,
+                         np_rows=band * R, mp_rows=mband * C,
+                         n_eff=n_eff, m_eff=m_eff,
+                         first=first, second=second)
+    ops.row_map, ops.col_map = row_map, col_map
+    ops.stats = PartitionStats(grid=(R, C), shard_nnz=shard_nnz,
+                               row_balanced=not row_map.identity,
+                               col_balanced=not col_map.identity,
+                               first=dstats(first), second=dstats(second))
+    return ops
 
 
 def _local_step(f: GFpWide, ops: WideShardedOps, check: bool,
@@ -206,6 +209,8 @@ class ShardedBlockLanczosWide:
         self.n_eff = self.ops.n_eff
         self.m_eff = self.ops.m_eff
         self.np_rows = self.ops.np_rows
+        self.row_map = self.ops.row_map
+        self.col_map = self.ops.col_map
         self.expected_iterations = 1 + self.m_eff // self.n
         self._rng = Xoshiro256Plus()
         self._vec_sharding = NamedSharding(self.mesh, P(ROWS_AXIS, None, None))
@@ -228,8 +233,8 @@ class ShardedBlockLanczosWide:
 
     def initial_block(self):
         block = self._rng.fill_mod64(self.n_eff * self.n, self.f.p)
-        v0 = np.zeros((self.np_rows, self.n), np.uint64)
-        v0[:self.n_eff] = block.reshape(self.n_eff, self.n)
+        v0 = self.row_map.scatter(
+            block.reshape(self.n_eff, self.n).astype(np.uint64))
         return put_global(gw.np_pair(v0.astype(object)),
                               self._vec_sharding)
 
@@ -253,14 +258,18 @@ class ShardedBlockLanczosWide:
                 self._vec_sharding)
             n_iterations = 0
         else:
-            v = put_global(fit_rows(resume_state["v"], self.np_rows),
-                               self._vec_sharding)
-            p_blk = put_global(fit_rows(resume_state["p"], self.np_rows),
-                                   self._vec_sharding)
+            v = put_global(self.row_map.scatter(fit_rows(
+                state_rows(resume_state, "v"), self.n_eff)),
+                self._vec_sharding)
+            p_blk = put_global(self.row_map.scatter(fit_rows(
+                state_rows(resume_state, "p"), self.n_eff)),
+                self._vec_sharding)
             n_iterations = int(resume_state["iteration"])
         if verbose:
             R, C = self.ops.grid
             print(f"Block Lanczos [wide field, sharded {R}x{C}]")
+            if self.ops.stats is not None:
+                print(self.ops.stats.summary())
             print(f"  - Expecting {self.expected_iterations} iterations")
             print("  - Main loop")
 
@@ -280,12 +289,12 @@ class ShardedBlockLanczosWide:
                 inv_fail=inv_fail if self.check_invariants else None,
                 solver=self)
         elapsed = time.time() - start
-        v_host = gw.np_unpair(fetch_global(v))
+        v_host = self.row_map.gather(gw.np_unpair(fetch_global(v)))
         v_host64 = v_host.astype(np.uint64)
         v_nonzero = product_zero = None
         vtM = None
         if not stopped_by_limit:
-            tmp_host = gw.np_unpair(fetch_global(tmp))
+            tmp_host = self.col_map.gather(gw.np_unpair(fetch_global(tmp)))
             v_nonzero, product_zero = lw.final_check(
                 v_host64, tmp_host, self.n_eff, self.m_eff, verbose)
             if product_zero is False:

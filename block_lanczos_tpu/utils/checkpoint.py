@@ -37,12 +37,20 @@ def _atomic_write(path: str, write_fn):
 
 
 def save_checkpoint(ckpt_dir: str, v, p_blk, iteration: int, elapsed: float,
-                    meta: dict | None = None, verbose: bool = False):
+                    meta: dict | None = None, verbose: bool = False,
+                    rowmap: np.ndarray | None = None):
+    """rowmap: padded-position -> true-row index (-1 on padding) when the
+    blocks are stored in a non-identity band layout (skew-balanced mesh
+    partitions, parallel/sharding.BandMap); omitted for identity layouts
+    so old checkpoints stay byte-compatible."""
     os.makedirs(ckpt_dir, exist_ok=True)
     v = np.asarray(v)
     p_blk = np.asarray(p_blk)
+    arrays = {"v": v, "p": p_blk}
+    if rowmap is not None:
+        arrays["rowmap"] = np.asarray(rowmap)
     _atomic_write(os.path.join(ckpt_dir, ARRAYS),
-                  lambda fh: np.savez_compressed(fh, v=v, p=p_blk))
+                  lambda fh: np.savez_compressed(fh, **arrays))
     manifest = {"iteration": int(iteration), "elapsed": float(elapsed),
                 "timestamp": time.time(), "shape": list(v.shape)}
     manifest.update(meta or {})
@@ -55,7 +63,8 @@ def save_checkpoint(ckpt_dir: str, v, p_blk, iteration: int, elapsed: float,
 
 def save_checkpoint_global(ckpt_dir: str, v, p_blk, iteration: int,
                            elapsed: float, meta: dict | None = None,
-                           verbose: bool = False):
+                           verbose: bool = False,
+                           rowmap: np.ndarray | None = None):
     """Checkpoint possibly process-spanning global jax.Arrays.
 
     Single process: the plain {state.npz + manifest} format.  Multi-process:
@@ -69,13 +78,17 @@ def save_checkpoint_global(ckpt_dir: str, v, p_blk, iteration: int,
     """
     import jax
     if jax.process_count() == 1:
-        save_checkpoint(ckpt_dir, v, p_blk, iteration, elapsed, meta, verbose)
+        save_checkpoint(ckpt_dir, v, p_blk, iteration, elapsed, meta, verbose,
+                        rowmap=rowmap)
         return
     from block_lanczos_tpu.parallel import multihost
     pid = jax.process_index()
     step_dir = os.path.join(ckpt_dir, f"step_{int(iteration):09d}")
     os.makedirs(step_dir, exist_ok=True)
     payload = {"iteration": np.int64(iteration)}
+    if rowmap is not None and pid == 0:
+        # host-side metadata, identical on every process: root stores it once
+        payload["rowmap"] = np.asarray(rowmap)
     arrays_meta = {}
     for name, arr in (("v", v), ("p", p_blk)):
         shards = multihost.addressable_shard_index_data(arr)
@@ -126,6 +139,8 @@ def _load_sharded(ckpt_dir: str, manifest: dict) -> dict:
                     f"torn checkpoint: shard_{k} is at iteration "
                     f"{int(z['iteration'])}, manifest at "
                     f"{int(manifest['iteration'])}")
+            if "rowmap" in z.files:
+                state["rowmap"] = z["rowmap"]
             for name in manifest["arrays"]:
                 for t in range(int(z[f"{name}_count"])):
                     data = z[f"{name}{t}_data"]
@@ -144,6 +159,8 @@ def load_checkpoint(ckpt_dir: str) -> dict:
         return _load_sharded(ckpt_dir, manifest)
     with np.load(os.path.join(ckpt_dir, ARRAYS)) as z:
         state = {"v": z["v"], "p": z["p"]}
+        if "rowmap" in z.files:
+            state["rowmap"] = z["rowmap"]
     state.update(manifest)
     return state
 
@@ -182,11 +199,13 @@ class CheckpointManager:
     """Timer-driven checkpointing (reference default: every 60 s)."""
 
     def __init__(self, ckpt_dir: str, interval_s: float = 60.0,
-                 meta: dict | None = None, verbose: bool = False):
+                 meta: dict | None = None, verbose: bool = False,
+                 rowmap: np.ndarray | None = None):
         self.ckpt_dir = ckpt_dir
         self.interval_s = interval_s
         self.meta = meta or {}
         self.verbose = verbose
+        self.rowmap = rowmap
         self._last = time.time()
         self.saves = 0
         # Iteration-deterministic due-check schedule: processes only talk
@@ -232,6 +251,6 @@ class CheckpointManager:
         self._last = now
         save_checkpoint_global(self.ckpt_dir, v, p_blk, iteration,
                                (now - start_time) + extra_time, self.meta,
-                               self.verbose)
+                               self.verbose, rowmap=self.rowmap)
         self.saves += 1
         return True

@@ -138,7 +138,9 @@ def main(argv=None) -> int:
     if args.load_checkpoint:
         try:
             resume_state = ckpt.load_checkpoint(args.checkpoint_dir)
-        except OSError as e:
+        except (OSError, ValueError) as e:
+            # ValueError covers corrupt manifests (json.JSONDecodeError)
+            # and torn sharded snapshots (_load_sharded)
             print(f"cannot load checkpoint from {args.checkpoint_dir}: {e}",
                   file=sys.stderr)
             return 1
@@ -233,9 +235,11 @@ def main(argv=None) -> int:
     verb.n_iterations = resume_state["iteration"] if resume_state else 0
     manager = None
     if args.checkpoint is not None:
+        row_map = getattr(solver, "row_map", None)
         manager = ckpt.CheckpointManager(
             args.checkpoint_dir, interval_s=args.checkpoint,
-            meta=run_meta, verbose=True)
+            meta=run_meta, verbose=True,
+            rowmap=None if row_map is None else row_map.rowmap())
 
     def on_iteration(slv, iteration, v, p_blk, start):
         verb.n_iterations = iteration - 1

@@ -171,34 +171,40 @@ def iter_mtx_triplets(path: str, chunk: int = 1 << 20):
         _validate_sparse(obj, fmt, field, sym)
         nrows, ncols, nnz = int(size[0]), int(size[1]), int(size[2])
         remaining = nnz
-        leftover = b""
+        pending: list = []   # whole tokens not yet consumed
+        tail = b""           # possibly-partial trailing token bytes
         at_eof = False
         while remaining > 0:
-            block = b"" if at_eof else f.read(32 * chunk)
-            if block:
-                data = leftover + block
+            # Yields are capped at `chunk` triplets: downstream
+            # overflow-safety arguments (checker accumulators) are stated
+            # in terms of the chunk size, and a 32-byte/triplet read can
+            # tokenize to far more than `chunk` triplets on short-token
+            # files.  Surplus tokens stay in `pending` (no byte re-joining
+            # — re-splitting them each round would go quadratic).
+            need = 3 * min(remaining, chunk)
+            while len(pending) < need and not at_eof:
+                block = f.read(32 * chunk)
+                if not block:
+                    at_eof = True
+                    if tail.strip():
+                        pending.extend(tail.split())
+                    tail = b""
+                    break
+                data = tail + block
                 # keep a partial trailing token for the next round
-                cut = max(data.rfind(b"\n"), data.rfind(b" "), data.rfind(b"\t"))
+                cut = max(data.rfind(b"\n"), data.rfind(b" "),
+                          data.rfind(b"\t"))
                 if cut <= 0:
-                    leftover = data
+                    tail = data
                     continue
-                head, leftover = data[:cut], data[cut:]
-            else:
-                at_eof = True
-                head, leftover = leftover, b""
-                if not head.strip():
-                    raise ValueError("unexpected EOF while streaming triplets")
-            toks = head.split()
-            take = min(remaining, len(toks) // 3)
+                head, tail = data[:cut], data[cut:]
+                pending.extend(head.split())
+            take = min(remaining, chunk, len(pending) // 3)
             if take == 0:
-                if at_eof:
-                    raise ValueError("unexpected EOF while streaming triplets")
-                leftover = head + leftover
-                continue
-            arr = np.array(toks[:3 * take], dtype=np.int64).reshape(take, 3)
-            extra = toks[3 * take:]  # tokens not forming a full triplet yet
-            if extra:
-                leftover = b" ".join(extra) + b" " + leftover
+                raise ValueError("unexpected EOF while streaming triplets")
+            arr = np.array(pending[:3 * take],
+                           dtype=np.int64).reshape(take, 3)
+            del pending[:3 * take]
             yield arr[:, 0] - 1, arr[:, 1] - 1, arr[:, 2]
             remaining -= take
         # nnz == 0 files yield nothing

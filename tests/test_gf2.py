@@ -115,6 +115,66 @@ def test_gf2_end_to_end_checker(tmp_path):
     assert checker.check_kernel_file(mtx, kern, 2) is True
 
 
+def test_gf2_checker_bitpacked_oracle(tmp_path):
+    """The bit-packed GF(2) checker path agrees with a brute-force mod-2
+    product and rejects a single flipped bit."""
+    rng = np.random.default_rng(4)
+    i, j, x = random_sparse(90, 60, 4, seed=4)
+    mtx = str(tmp_path / "m.mtx")
+    mmio.write_coo_mtx(mtx, 90, 60, i, j, x)
+    # brute-force a genuine left kernel of M mod 2 via GF(2) elimination
+    dense = np.zeros((90, 60), np.int64)
+    dense[i, j] = x % 2
+    res = BlockLanczosGF2(
+        mmio.COOMatrix(90, 60, len(x), i.astype(np.int32),
+                       j.astype(np.int32), (x % 2).astype(np.uint32), 2),
+        n=32).solve()
+    assert (res.kernel.T @ dense % 2 == 0).all()  # oracle agrees
+    assert checker.check_kernel_block(mtx, res.kernel, 2) is True
+    bad = res.kernel.copy()
+    # flip one bit on a row that actually meets a nonzero mod-2 column
+    r = int(i[(x % 2 == 1).argmax()])
+    bad[r, 0] ^= 1
+    if (bad != 0).any():
+        with pytest.raises(checker.CheckFailure):
+            checker.check_kernel_block(mtx, bad, 2)
+
+
+def test_gf2_checker_wide_block(tmp_path):
+    """n = 96 (3 words) exercises multi-word packing in the checker; the
+    kernel block comes from direct mod-2 elimination (tiny matrices at
+    wide n hit the known Lanczos breakdown, so no solver here)."""
+    i, j, x = random_sparse(70, 40, 4, seed=5)
+    mtx = str(tmp_path / "m.mtx")
+    mmio.write_coo_mtx(mtx, 70, 40, i, j, x)
+    A = np.zeros((70, 40), np.uint8)
+    A[i, j] ^= (x % 2).astype(np.uint8)
+    # left-nullspace basis of A mod 2 by row reduction of [A | I]
+    aug = np.concatenate([A, np.eye(70, dtype=np.uint8)], axis=1)
+    r = 0
+    for c in range(40):
+        piv = np.nonzero(aug[r:, c])[0]
+        if len(piv) == 0:
+            continue
+        p0 = r + piv[0]
+        aug[[r, p0]] = aug[[p0, r]]
+        elim = np.nonzero(aug[:, c])[0]
+        for e in elim:
+            if e != r:
+                aug[e] ^= aug[r]
+        r += 1
+    basis = aug[r:, 40:]           # rows with A-part zeroed: x^T A = 0
+    assert len(basis) >= 30
+    assert (basis.astype(np.int64) @ A.astype(np.int64) % 2 == 0).all()
+    # cycle the basis into a 96-wide block (3 words)
+    v = basis[np.arange(96) % len(basis)].T.astype(np.uint32)
+    assert checker.check_kernel_block(mtx, v, 2) is True
+    bad = v.copy()
+    bad[int(i[(x % 2 == 1).argmax()]), 65] ^= 1  # bit in word 3
+    with pytest.raises(checker.CheckFailure):
+        checker.check_kernel_block(mtx, bad, 2)
+
+
 def test_gf2_right_kernel():
     # NOTE: over GF(2), tiny matrices with block width comparable to the
     # dimension frequently hit the inherent Lanczos self-orthogonality

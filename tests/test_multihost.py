@@ -105,6 +105,44 @@ def test_two_process_2d_grid_and_checkpoint_resume(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_shard_local_build(tmp_path):
+    """Each process materializes ONLY its addressable matrix blocks
+    (round-3 shard-local build; round 2 built all R x C on every host —
+    the reference's root at least carved once, mpi/lanczos_modp.c:623-792).
+    Output must still be byte-identical to the golden."""
+    mtx = os.path.join(GOLDEN, "left_p65537_n4.mtx")
+    out = str(tmp_path / "k_local.mtx")
+    outs = _run_procs(2, 4, ["--matrix", mtx, "--prime", "65537", "--n", "4",
+                             "--devices", "8", "--output-file", out,
+                             "--no-checks"])
+    for o in outs:
+        assert "materializing 4/8 matrix blocks" in o, o
+    with open(out, "rb") as f:
+        got = f.read()
+    with open(os.path.join(GOLDEN, "left_p65537_n4.kernel.mtx"), "rb") as f:
+        ref = f.read()
+    assert got == ref
+
+
+def test_local_build_path_matches_replicated(monkeypatch):
+    """The shard-local build (count-model statics + per-shard callbacks)
+    is bit-identical to the replicated build — forced on in-process by
+    faking the addressable set to all blocks."""
+    from block_lanczos_tpu.parallel import sharding as shard_lib
+    from block_lanczos_tpu.parallel.distributed import ShardedBlockLanczos
+    from block_lanczos_tpu.parallel.mesh import make_mesh_grid
+
+    M = mmio.load_mtx(os.path.join(GOLDEN, "left_p65537_n4.mtx"), 65537)
+    ref = ShardedBlockLanczos(M, n=4, mesh=make_mesh_grid(4, 2)).solve()
+    monkeypatch.setattr(
+        shard_lib, "_addressable_parts",
+        lambda mesh: {(r, c) for r in range(4) for c in range(2)})
+    res = ShardedBlockLanczos(M, n=4, mesh=make_mesh_grid(4, 2)).solve()
+    np.testing.assert_array_equal(res.kernel, ref.kernel)
+    assert res.iterations == ref.iterations
+
+
+@pytest.mark.slow
 def test_sharded_checkpoint_resumes_single_process(tmp_path):
     """A checkpoint written by 2 processes resumes in ONE process (mesh-shape
     independence of the snapshot: global arrays, not rank-local state)."""
