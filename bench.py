@@ -110,6 +110,41 @@ def bench_ours(M):
             per_iter_gf2(128), per_iter_gf2(256), per_iter_wide(N_BLOCK))
 
 
+def bench_gf2_at_scale():
+    """Driver-captured 51M-nnz GF(2) rows (BASELINE config-4 scale): the
+    n=256 blocking's ~1.8x TTS win must survive at factorization scale —
+    round 2 could not even compile that program (per-bit trace unrolls;
+    fixed by the word-level gf2 kernels).  Returns {n: s_per_iteration}."""
+    from block_lanczos_tpu.parallel.distributed_gf2 import (
+        ShardedBlockLanczosGF2)
+    from block_lanczos_tpu.parallel.mesh import make_mesh
+    from block_lanczos_tpu.parallel.multihost import put_global
+    from block_lanczos_tpu.utils.gen import random_sparse
+    from block_lanczos_tpu.utils.mmio import COOMatrix
+
+    i, j, x = random_sparse(3_000_000, 2_000_000, 17, seed=42)
+    M2 = COOMatrix(3_000_000, 2_000_000, len(x), i.astype(np.int32),
+                   j.astype(np.int32), (x % 2).astype(np.uint32), 2)
+    out = {}
+    for n_blk in (128, 256):
+        # the 1x1-mesh program — what the CLI auto-picks at this scale
+        # (expected iterations < 20k; the single driver's remote compile
+        # is pathologically slow on this toolchain, PERF.md)
+        solver = ShardedBlockLanczosGF2(M2, n=n_blk, mesh=make_mesh(1),
+                                        check_invariants=False)
+        v = solver.initial_block()
+        p_blk = put_global(np.zeros((solver.np_rows, solver.W), np.uint32),
+                           solver._vec_sharding)
+        sargs = solver._step_args()
+        v, p_blk, *rest = solver._multi_step(*sargs, v, p_blk, np.uint32(2))
+        np.asarray(v)
+        t0 = time.perf_counter()
+        v, p_blk, *rest = solver._multi_step(*sargs, v, p_blk, np.uint32(8))
+        np.asarray(v)
+        out[n_blk] = (time.perf_counter() - t0) / max(int(rest[-1]), 1)
+    return out
+
+
 def bench_reference_seq(mtx_path, prime=PRIME, n=N_BLOCK, iters=REF_ITERS,
                         repeats=2):
     """Per-iteration time of the sequential C reference on this host."""
@@ -179,6 +214,12 @@ def main():
      ours_wide) = bench_ours(M)
     nnz_per_s = 2 * M.nnz / ours_per_iter  # two SpMV passes per iteration
 
+    try:
+        at_scale = bench_gf2_at_scale()   # 51M-nnz factorization scale
+    except Exception as e:                # never lose the headline rows
+        print(f"at-scale GF(2) bench failed: {e}", file=sys.stderr)
+        at_scale = {}
+
     ref_per_iter = bench_reference_seq(mtx)
     vs_baseline = (ref_per_iter / ours_per_iter) if ref_per_iter else None
     # same-config baselines for the production blockings: iterations scale
@@ -224,6 +265,15 @@ def main():
                 round(ours_gf2_128 * 256 / (ours_gf2_256 * 128), 2),
             # wide field p=2^61-1, n=4 (beyond the reference's 2^30-35 cap)
             "wide_p61_s_per_iteration": round(ours_wide, 6),
+            # 51M-nnz factorization scale (3M x 2M mod 2): does the n=256
+            # TTS win extend to scale now that the program compiles?
+            "gf2_51m_n128_s_per_iteration":
+                round(at_scale[128], 6) if 128 in at_scale else None,
+            "gf2_51m_n256_s_per_iteration":
+                round(at_scale[256], 6) if 256 in at_scale else None,
+            "gf2_51m_n256_tts_speedup_vs_n128":
+                (round(at_scale[128] * 256 / (at_scale[256] * 128), 2)
+                 if 128 in at_scale and 256 in at_scale else None),
         },
     }
     print(json.dumps(result))
