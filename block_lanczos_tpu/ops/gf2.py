@@ -108,15 +108,20 @@ def matmul_gf2(X_words, B_words, n_in: int):
     return jax.lax.fori_loop(0, n_in // WORD, word_step, y0)
 
 
-# row-chunk size for the Gram scan (module constant so tests can force the
-# chunked path at small sizes)
-_GRAM_CHUNK = 1 << 16
+# Row-chunk size for the Gram scan (module constant so tests can force the
+# chunked path at small sizes).  MEASURED compile cliff on the remote TPU
+# toolchain: at 2^16-row chunks the n_x=512 gram program took 561-868 s to
+# compile (and the full n=256 solver program >55 min); at 2^14 the same
+# computation compiles in seconds AND runs faster (0.05 vs 0.09 s per
+# 3M-row gram) — compile cost scales superlinearly with the per-op chunk
+# shape.  Outputs are bit-identical for any chunking (XOR associativity).
+_GRAM_CHUNK = 1 << 14
 
-# Unroll limit for gram_gf2's output-row loop.  The flagship n=128 config
-# (n_x = 2n = 256) stays on the measured fully-unrolled path; n=256
-# (n_x = 512) switches to the word-level fori_loop so the jaxpr stops
-# scaling with n — at 51M nnz the unrolled n=256 program was uncompilable
-# on the remote toolchain (PERF.md "blocking sweep").
+# Unroll limit for gram_gf2's per-bit output-row loop.  The flagship n=128
+# config (n_x = 2n = 256) stays on the measured fully-unrolled path; wider
+# blocks take the fused single-reduce formulation whose program size is
+# independent of n_x (at 51M nnz the unrolled n=256 program was
+# uncompilable on the remote toolchain — PERF.md "blocking sweep").
 _GRAM_UNROLL = 256
 
 
@@ -137,27 +142,26 @@ def gram_gf2(X_words, Y_words, n_x: int):
             rows.append(xor_reduce(mask & Yc, axis=0))
         return jnp.stack(rows)                       # (n_x, Wy)
 
-    def chunk_gram_words(Xc, Yc):
-        # word-level: one fori step per X word column computes 32 output
-        # rows (32 unrolled bit parities) — program size independent of n_x
-        def word_step(w, G):
-            xw = jax.lax.dynamic_index_in_dim(Xc, w, 1, keepdims=False)
-            rows = []
-            for b in range(WORD):
-                bit = (xw >> u32(b)) & u32(1)
-                mask = jnp.where(bit == 1, u32(0xFFFFFFFF), u32(0))[:, None]
-                rows.append(xor_reduce(mask & Yc, axis=0))
-            return jax.lax.dynamic_update_slice(
-                G, jnp.stack(rows), (w * WORD, 0))
-
-        G0 = zeros_vma_like(Xc, (n_x, Yc.shape[1]))  # carry: Xc's vma type
-        return jax.lax.fori_loop(0, n_x // WORD, word_step, G0)
+    def chunk_gram_fused(Xc, Yc):
+        # all n_x output rows in ONE masked XOR contraction: expand each X
+        # word into 32 full masks and reduce the virtual (rows, n_x, Wy)
+        # tensor over rows — XLA fuses the broadcasts into the reduction
+        # (nothing is materialized); O(1) program size in n_x.  Measured
+        # faster to compile AND run than a word-level fori at every tested
+        # chunk size.
+        c = Xc.shape[0]
+        shifts = jnp.arange(WORD, dtype=u32)
+        bits = (Xc[:, :, None] >> shifts[None, None, :]) & u32(1)
+        mask = jnp.where(bits == 1, u32(0xFFFFFFFF),
+                         u32(0)).reshape(c, n_x)
+        return jax.lax.reduce(mask[:, :, None] & Yc[:, None, :], u32(0),
+                              jax.lax.bitwise_xor, (0,))
 
     if n_x <= _GRAM_UNROLL:
         chunk_gram = chunk_gram_unrolled
     else:
         assert n_x % WORD == 0  # wide blocks are multiples of 32 by contract
-        chunk_gram = chunk_gram_words
+        chunk_gram = chunk_gram_fused
 
     if N <= chunk:
         return chunk_gram(X_words, Y_words)

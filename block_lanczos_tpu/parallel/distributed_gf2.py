@@ -205,7 +205,8 @@ class ShardedBlockLanczosGF2:
     def __init__(self, M: COOMatrix, n: int = 32, right: bool = False,
                  mesh: jax.sharding.Mesh | None = None,
                  pad_multiple: int = 8, check_invariants: bool = True,
-                 sync_every: int | None = None):
+                 sync_every: int | None = None,
+                 ops: GF2ShardedOps | None = None):
         from block_lanczos_tpu.parallel.mesh import make_mesh
         if int(M.prime) != 2 or n % WORD != 0:
             raise ValueError("GF(2) sharded solver requires p == 2 and n % 32 == 0")
@@ -214,8 +215,11 @@ class ShardedBlockLanczosGF2:
         self.W = words(self.n)
         self.right = bool(right)
         self.check_invariants = check_invariants
-        self.ops = partition_matrix_gf2(M, right, self.mesh,
-                                        pad_multiple=pad_multiple)
+        # the partitioned operator is independent of the blocking n — callers
+        # sweeping n (bench.py at the 51M-nnz scale, where the host-side
+        # build is ~25 min on this 1-core host) build once and pass it in
+        self.ops = ops if ops is not None else partition_matrix_gf2(
+            M, right, self.mesh, pad_multiple=pad_multiple)
         self.n_eff = self.ops.n_eff
         self.m_eff = self.ops.m_eff
         self.np_rows = self.ops.np_rows

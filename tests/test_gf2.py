@@ -115,6 +115,25 @@ def test_gf2_end_to_end_checker(tmp_path):
     assert checker.check_kernel_file(mtx, kern, 2) is True
 
 
+def test_gf2_gram_fused_wide_block(monkeypatch):
+    """n_x > _GRAM_UNROLL takes the fused single-reduce path (the n=256
+    at-scale formulation); parity vs a numpy mod-2 oracle on both the
+    single-chunk and scan routes."""
+    import jax.numpy as jnp
+
+    from block_lanczos_tpu.ops import gf2
+    rng = np.random.default_rng(11)
+    for N, chunk in ((100, 1 << 14), (300, 64)):
+        monkeypatch.setattr(gf2, "_GRAM_CHUNK", chunk)
+        X = rng.integers(0, 2, (N, 512)).astype(np.uint32)
+        Y = rng.integers(0, 2, (N, 64)).astype(np.uint32)
+        got = np.asarray(gf2.gram_gf2(jnp.asarray(gf2.pack_bits_np(X)),
+                                      jnp.asarray(gf2.pack_bits_np(Y)), 512))
+        want = gf2.pack_bits_np(
+            (X.T.astype(np.int64) @ Y.astype(np.int64) % 2).astype(np.uint32))
+        np.testing.assert_array_equal(got, want)
+
+
 def test_gf2_checker_bitpacked_oracle(tmp_path):
     """The bit-packed GF(2) checker path agrees with a brute-force mod-2
     product and rejects a single flipped bit."""
