@@ -320,24 +320,40 @@ _ELL_UNROLL = 32
 
 
 def spmv_wide(f: GFpWide, op: WideHybridOp, x, out_rows: int | None = None):
-    """y = op * x mod p for pair blocks x (in_dim, n, 2) -> (out_rows, n, 2)."""
+    """y = op * x mod p for pair blocks x (in_dim, n, 2) -> (out_rows, n, 2).
+
+    The slab walk defers the mod-p reduction: each slot's Montgomery
+    product is limb-split into 15-bit u32 limbs and ADDED (exact while
+    ell <= 2^17 terms per limb sum), with ONE limb_combine fold after the
+    walk — the narrow path's deferred-reduction idiom (ops/spmm.py)
+    lifted to pairs.  Per-slot pair modadd (64-bit add + compare +
+    conditional subtract per slot) was measured ~35% slower at bench
+    shapes (PERF.md "Wide-field iteration ablation").  Bit-identical:
+    both forms produce the canonical representative in [0, p).
+    """
     if out_rows is None:
         out_rows = op.out_dim
     n = x.shape[1]
     out_pad = op.cols.shape[0]
+    deferred = op.ell <= gw.LIMB_SUM_MAX  # exactness cap (always, in practice)
 
-    def slab_step(k, y):
+    def slab_step(k, acc):
         ck = jax.lax.dynamic_index_in_dim(op.cols, k, 1, keepdims=False)
         vk = jax.lax.dynamic_index_in_dim(op.vals, k, 1, keepdims=False)
-        return gw.modadd(f, y, gw.mont_mul(f, vk[:, None, :], x[ck]))
+        prod = gw.mont_mul(f, vk[:, None, :], x[ck])
+        return (acc + gw.limb_split(prod) if deferred
+                else gw.modadd(f, acc, prod))
 
-    y = gfp.zeros_vma_like(x, (out_pad, n, 2))  # fori carry: x's vma type
+    tail = N_LIMBS if deferred else 2
+    acc = gfp.zeros_vma_like(x, (out_pad, n, tail))  # fori carry: x's vma
     if op.ell <= _ELL_UNROLL:
         for k in range(op.ell):
-            y = gw.modadd(f, y, gw.mont_mul(
-                f, op.vals[:, k][:, None, :], x[op.cols[:, k]]))
+            prod = gw.mont_mul(f, op.vals[:, k][:, None, :], x[op.cols[:, k]])
+            acc = (acc + gw.limb_split(prod) if deferred
+                   else gw.modadd(f, acc, prod))
     else:
-        y = jax.lax.fori_loop(0, op.ell, slab_step, y)
+        acc = jax.lax.fori_loop(0, op.ell, slab_step, acc)
+    y = gw.limb_combine(f, acc) if deferred else acc
 
     if op.spill.nnz != 0:
         y = gw.modadd(f, y, _spmv_spill_prefix(f, op.spill, x, out_pad))
