@@ -46,6 +46,27 @@ def test_spmv_wide_vs_oracle():
     assert (y == exp).all()
 
 
+def test_spmv_wide_fallback_above_limb_cap(monkeypatch):
+    """ell > LIMB_SUM_MAX must take the per-slot modadd fallback (the
+    deferred limb sums would overflow); force it by shrinking the cap and
+    check both routes agree with the oracle."""
+    p = P61
+    f = GFpWide.make(p)
+    rng = np.random.default_rng(5)
+    M = make_matrix(p, 60, 40, 9, seed=3, wide_vals=True)
+    op = wo.make_wide_hybrid_op(f, M.i, M.j, np.asarray(M.x, dtype=object),
+                                M.nrows, M.ncols)
+    assert op.ell > 4
+    x_obj = (rng.integers(0, 1 << 60, size=(40, 3)).astype(object)) % p
+    xd = jnp.asarray(gw.np_pair(x_obj))
+    y_def = gw.np_unpair(np.asarray(wo.spmv_wide(f, op, xd)))
+    monkeypatch.setattr(wo.gw, "LIMB_SUM_MAX", 4)
+    y_fb = gw.np_unpair(np.asarray(wo.spmv_wide(f, op, xd)))
+    exp = wo.spmv_wide_oracle(p, M.nrows, M.i, M.j,
+                              np.asarray(M.x, dtype=object), x_obj)
+    assert (y_def == exp).all() and (y_fb == exp).all()
+
+
 def test_semi_inverse_wide_device_vs_host():
     p = P61
     f = GFpWide.make(p)
