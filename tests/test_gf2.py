@@ -115,6 +115,34 @@ def test_gf2_end_to_end_checker(tmp_path):
     assert checker.check_kernel_file(mtx, kern, 2) is True
 
 
+def test_gf2_sharded_ops_reuse_across_n(tmp_path):
+    """A partition built once and passed via ops= (the bench.py at-scale
+    path) yields bit-identical iterates to a per-solver build at every
+    blocking n — the operator is independent of n by construction."""
+    from block_lanczos_tpu.parallel.distributed_gf2 import (
+        ShardedBlockLanczosGF2, partition_matrix_gf2)
+    from block_lanczos_tpu.parallel.mesh import make_mesh
+    from block_lanczos_tpu.parallel.multihost import put_global
+
+    i, j, x = random_sparse(600, 400, 5, seed=21)
+    M2 = mmio.COOMatrix(600, 400, len(x), i.astype(np.int32),
+                        j.astype(np.int32), (x % 2).astype(np.uint32), 2)
+    mesh = make_mesh(4)
+    shared = partition_matrix_gf2(M2, False, mesh)
+    for n in (32, 64):
+        iterates = []
+        for ops in (None, shared):
+            s = ShardedBlockLanczosGF2(M2, n=n, mesh=mesh,
+                                       check_invariants=False, ops=ops)
+            v = s.initial_block()
+            p_blk = put_global(np.zeros((s.np_rows, s.W), np.uint32),
+                               s._vec_sharding)
+            args = s._step_args()
+            v, p_blk, *_ = s._multi_step(*args, v, p_blk, np.uint32(3))
+            iterates.append(np.asarray(v))
+        np.testing.assert_array_equal(iterates[0], iterates[1])
+
+
 def test_gf2_gram_fused_wide_block(monkeypatch):
     """n_x > _GRAM_UNROLL takes the fused single-reduce path (the n=256
     at-scale formulation); parity vs a numpy mod-2 oracle on both the
