@@ -137,8 +137,8 @@ def bench_gf2_at_scale():
     # the 1x1-mesh program — what the CLI auto-picks at this scale
     # (expected iterations < 20k; the single driver's remote compile
     # is pathologically slow on this toolchain, PERF.md).  The partition
-    # is independent of the blocking n: build once (~25 min host-side on
-    # this 1-core machine), reuse for both widths.
+    # is independent of the blocking n: build once (~46 s host-side at
+    # 51M nnz, measured), reuse for both widths.
     mesh = make_mesh(1)
     ops = partition_matrix_gf2(M2, False, mesh)
     out = {}

@@ -110,20 +110,24 @@ def main():
                                  dtype=np.uint64).astype(object))
     results = {}
     for name, apply_fn in variants.items():
-        def one_round(_, v):
-            tmp = apply_fn(first, v)
-            av = apply_fn(second, tmp)
-            # keep uint32 pair shape for the xor variant too
-            return av
-
+        # ops ride as pytree ARGUMENTS: closing over device arrays bakes
+        # them into the program as constants, which both blows the remote
+        # compiler's HTTP body limit at scale (CLAUDE.md env fact 2) and
+        # lets XLA constant-fold operator data, skewing the attribution
+        # this script exists to measure.
         @jax.jit
-        def run(v, iters):
+        def run(first, second, v, iters):
+            def one_round(_, v):
+                tmp = apply_fn(first, v)
+                av = apply_fn(second, tmp)
+                # keep uint32 pair shape for the xor variant too
+                return av
             return jax.lax.fori_loop(0, iters, one_round, v)
 
         v = jnp.asarray(v0)
-        np.asarray(run(v, 2))                 # compile + warm
+        np.asarray(run(first, second, v, 2))  # compile + warm
         t0 = time.perf_counter()
-        out = run(v, args.iters)
+        out = run(first, second, v, args.iters)
         np.asarray(out)
         dt = (time.perf_counter() - t0) / args.iters
         results[name] = dt

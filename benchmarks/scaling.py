@@ -61,7 +61,7 @@ def main():
         # partition (parallel/sharding.balanced_band_map) exists for
         j, i, x = random_sparse_skewed(args.ncols, args.nrows,
                                        args.density, seed=42)
-        order = __import__("numpy").lexsort((j, i))
+        order = np.lexsort((j, i))
         i, j, x = i[order], j[order], x[order]
     else:
         i, j, x = random_sparse(args.nrows, args.ncols, args.density,

@@ -26,7 +26,8 @@ from block_lanczos_tpu.ops.gf2 import WORD, words
 from block_lanczos_tpu.ops.gfp import u32
 from block_lanczos_tpu.parallel.mesh import COLS_AXIS, ROWS_AXIS
 from block_lanczos_tpu.parallel.multihost import fetch_global, put_global
-from block_lanczos_tpu.parallel.sharding import (DirStats, PartitionStats,
+from block_lanczos_tpu.parallel.sharding import (BandMap, DirStats,
+                                                 PartitionStats,
                                                  _grid_maps, _grid_parts)
 from block_lanczos_tpu.utils.mmio import COOMatrix
 from block_lanczos_tpu.utils.rng import Xoshiro256Plus
@@ -75,8 +76,8 @@ class GF2ShardedOps:
     m_eff: int
     first: _GF2StackedDir
     second: _GF2StackedDir
-    row_map = None     # BandMap of the kernel dimension
-    col_map = None     # BandMap of the other dimension
+    row_map: BandMap | None = None   # BandMap of the kernel dimension
+    col_map: BandMap | None = None   # BandMap of the other dimension
     stats: PartitionStats | None = None
 
     def _local(self, d: _GF2StackedDir, out_dim: int, in_dim: int,
@@ -147,16 +148,15 @@ def partition_matrix_gf2(M: COOMatrix, right: bool, mesh: jax.sharding.Mesh,
                         slab_slots=int(np.prod(d.cols.shape[:4])),
                         spill_slots=int(np.prod(d.spill_out.shape)))
 
-    ops = GF2ShardedOps(grid=(R, C), band=band, mband=mband,
-                        np_rows=band * R, mp_rows=mband * C,
-                        n_eff=n_eff, m_eff=m_eff,
-                        first=first, second=second)
-    ops.row_map, ops.col_map = row_map, col_map
-    ops.stats = PartitionStats(grid=(R, C), shard_nnz=shard_nnz,
-                               row_balanced=not row_map.identity,
-                               col_balanced=not col_map.identity,
-                               first=dstats(first), second=dstats(second))
-    return ops
+    return GF2ShardedOps(
+        grid=(R, C), band=band, mband=mband,
+        np_rows=band * R, mp_rows=mband * C,
+        n_eff=n_eff, m_eff=m_eff,
+        first=first, second=second, row_map=row_map, col_map=col_map,
+        stats=PartitionStats(grid=(R, C), shard_nnz=shard_nnz,
+                             row_balanced=not row_map.identity,
+                             col_balanced=not col_map.identity,
+                             first=dstats(first), second=dstats(second)))
 
 
 def _local_step(ops: GF2ShardedOps, n: int, check: bool,

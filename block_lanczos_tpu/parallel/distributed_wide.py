@@ -30,7 +30,8 @@ from block_lanczos_tpu.ops.gfp_wide import GFpWide
 from block_lanczos_tpu.parallel.collectives import psum_mod_wide
 from block_lanczos_tpu.parallel.mesh import COLS_AXIS, ROWS_AXIS
 from block_lanczos_tpu.parallel.multihost import fetch_global, put_global
-from block_lanczos_tpu.parallel.sharding import (DirStats, PartitionStats,
+from block_lanczos_tpu.parallel.sharding import (BandMap, DirStats,
+                                                 PartitionStats,
                                                  _grid_maps, _grid_parts)
 from block_lanczos_tpu.utils.mmio import COOMatrix
 from block_lanczos_tpu.utils.rng import Xoshiro256Plus
@@ -62,8 +63,8 @@ class WideShardedOps:
     m_eff: int
     first: _WideStackedDir
     second: _WideStackedDir
-    row_map = None     # BandMap of the kernel dimension
-    col_map = None     # BandMap of the other dimension
+    row_map: BandMap | None = None   # BandMap of the kernel dimension
+    col_map: BandMap | None = None   # BandMap of the other dimension
     stats: PartitionStats | None = None
 
     def _local(self, d: _WideStackedDir, out_dim: int, in_dim: int,
@@ -137,16 +138,15 @@ def partition_matrix_wide(f: GFpWide, M: COOMatrix, right: bool,
                         slab_slots=int(np.prod(d.vals.shape[:4])),
                         spill_slots=int(np.prod(d.spill_out.shape)))
 
-    ops = WideShardedOps(grid=(R, C), band=band, mband=mband,
-                         np_rows=band * R, mp_rows=mband * C,
-                         n_eff=n_eff, m_eff=m_eff,
-                         first=first, second=second)
-    ops.row_map, ops.col_map = row_map, col_map
-    ops.stats = PartitionStats(grid=(R, C), shard_nnz=shard_nnz,
-                               row_balanced=not row_map.identity,
-                               col_balanced=not col_map.identity,
-                               first=dstats(first), second=dstats(second))
-    return ops
+    return WideShardedOps(
+        grid=(R, C), band=band, mband=mband,
+        np_rows=band * R, mp_rows=mband * C,
+        n_eff=n_eff, m_eff=m_eff,
+        first=first, second=second, row_map=row_map, col_map=col_map,
+        stats=PartitionStats(grid=(R, C), shard_nnz=shard_nnz,
+                             row_balanced=not row_map.identity,
+                             col_balanced=not col_map.identity,
+                             first=dstats(first), second=dstats(second)))
 
 
 def _local_step(f: GFpWide, ops: WideShardedOps, check: bool,

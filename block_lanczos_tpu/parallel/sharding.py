@@ -388,6 +388,15 @@ def _build_dir(f: GFp, parts, out_dim: int, R: int, C: int,
     if delta and any(not slab.delta for slab, _, _ in built):
         return _build_dir(f, parts, out_dim, R, C, nnz_sharding, chunk,
                           delta=False)
+    # The stacked dir applies ONE spill algorithm to every shard (seg_safe
+    # is a dir-level static), so the common pad must land on the pad
+    # multiple of the WORST shard: build_op_arrays rounds to 8 rows when
+    # seg_safe else a full scan chunk, and with mixed shards a rebuild
+    # targeting a safe shard's 8-multiple would re-round past it and break
+    # the uniform-shape stack (judge-class bug: one skewed shard with a
+    # >2^17-entry spill row among safe shards).
+    seg_safe_all = all(res[1][5] for res in built)
+    spill_pad += (-spill_pad) % (8 if seg_safe_all else chunk)
     # rebuild spills padded to the common size
     slab_l, so_l, si_l, sv_l, srp_l = [], [], [], [], []
     seg_safe = True
@@ -397,6 +406,7 @@ def _build_dir(f: GFp, parts, out_dim: int, R: int, C: int,
                 f, oi, ii, xv, out_dim, out_dim, ell, chunk=chunk,
                 spill_pad_to=spill_pad, delta=delta)
         s_o, s_i, s_v, _s_nnz, s_rp, s_safe = spill_t
+        assert s_o.shape[0] == spill_pad, (s_o.shape, spill_pad)
         seg_safe = seg_safe and s_safe
         slab_l.append(slab)
         so_l.append(s_o); si_l.append(s_i); sv_l.append(s_v)

@@ -109,10 +109,15 @@ def check_kernel_block(matrix_path: str, x: np.ndarray, prime: int,
         # like the mod-p sum.  ~n/32 the work of the generic path on the
         # field where the solver is fastest.
         W = (n + 31) // 32
-        xb = np.zeros((nrows, W * 32), np.uint32)
-        xb[:, :n] = x & 1
         shifts = np.arange(32, dtype=np.uint32)
-        xw = (xb.reshape(nrows, W, 32) << shifts).sum(axis=2, dtype=np.uint32)
+        # pack one 32-column slice at a time: O(nrows*32) transient instead
+        # of a full (nrows, W*32) zero-padded copy of the kernel (~1.5 GB
+        # extra peak at the 51M-nnz flagship check)
+        xw = np.empty((nrows, W), np.uint32)
+        for w in range(W):
+            sl = (x[:, w * 32:(w + 1) * 32] & 1).astype(np.uint32)
+            xw[:, w] = (sl << shifts[:sl.shape[1]]).sum(
+                axis=1, dtype=np.uint32)
         yw = np.zeros((ncols, W), np.uint32)
         for bi, bj, bx in mmio.iter_mtx_triplets(matrix_path):
             if right:

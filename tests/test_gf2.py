@@ -182,9 +182,9 @@ def test_gf2_checker_bitpacked_oracle(tmp_path):
     # flip one bit on a row that actually meets a nonzero mod-2 column
     r = int(i[(x % 2 == 1).argmax()])
     bad[r, 0] ^= 1
-    if (bad != 0).any():
-        with pytest.raises(checker.CheckFailure):
-            checker.check_kernel_block(mtx, bad, 2)
+    assert (bad != 0).any()   # never silently skip the rejection check
+    with pytest.raises(checker.CheckFailure):
+        checker.check_kernel_block(mtx, bad, 2)
 
 
 def test_gf2_checker_wide_block(tmp_path):

@@ -328,3 +328,62 @@ def test_sharded_solve_with_input_banding(monkeypatch):
     res = solver.solve()
     assert res.v_nonzero and res.product_zero
     np.testing.assert_array_equal(res.kernel.astype(np.int64), ref)
+
+
+def test_build_dir_mixed_seg_safe_spill_padding(monkeypatch):
+    """One shard with a spill row beyond the limb-sum cap (seg_safe=False,
+    chunk-multiple pad) stacked with safe shards (8-multiple pad): the
+    common spill pad must land on the WORST shard's rounding policy.
+
+    Regression: _build_dir took spill_pad from the safe shard's 8-multiple,
+    build_op_arrays re-rounded the unsafe shard past it, and np.stack
+    raised ValueError (262152 vs 393216 at judge-scale sizes) — the narrow
+    sharded partition could not be constructed at all for such matrices.
+    """
+    import jax.numpy as jnp
+    from block_lanczos_tpu.ops import gfp as gfp_mod, spmm
+    from block_lanczos_tpu.parallel import sharding as sh
+
+    monkeypatch.setattr(gfp_mod, "LIMB_SUM_MAX", 64)
+    chunk, out_dim, p = 64, 64, 65537
+    f = GFp.make(p)
+    rng = np.random.default_rng(7)
+
+    def part(counts):
+        oi = np.repeat(np.arange(len(counts), dtype=np.int32),
+                       counts).astype(np.int32)
+        ii = rng.integers(0, out_dim, len(oi), dtype=np.int32)
+        xv = rng.integers(1, p, len(oi), dtype=np.uint32)
+        return oi, ii, xv
+
+    counts_a = np.full(32, 12); counts_a[0] = 13   # safe, spread spill
+    counts_b = np.full(32, 2); counts_b[0] = 200   # one >cap spill row
+    parts = [part(counts_a), part(counts_b)]
+
+    # precondition: genuinely mixed, with the LARGEST spill on the safe
+    # shard and its 8-multiple pad NOT a chunk multiple (the crash shape)
+    ell = spmm.choose_ell_width_multi(
+        [np.bincount(oi, minlength=out_dim) for oi, _, _ in parts])
+    safes, lens = [], []
+    for oi, ii, xv in parts:
+        _slab, spill_t, _n = spmm.build_hybrid_arrays(
+            f, oi, ii, xv, out_dim, out_dim, ell, chunk=chunk)
+        safes.append(spill_t[5])
+        lens.append(spill_t[0].shape[0])
+    assert safes == [True, False] and lens[0] > lens[1] and lens[0] % chunk
+
+    mesh = make_mesh(2)
+    nnz_sh = NamedSharding(mesh, P("rows", "cols"))
+    d = sh._build_dir(f, parts, out_dim, 2, 1, nnz_sh, chunk)
+    assert not d.seg_safe   # dir-level AND -> every shard takes scan path
+
+    # the rebuilt, re-padded spills still compute the exact per-shard SpMV
+    x = rng.integers(0, p, (out_dim, 4), dtype=np.uint32)
+    for r, (oi, ii, xv) in enumerate(parts):
+        sl = [np.asarray(leaf)[r, 0][None, None] for leaf in d.leaves()]
+        op = sh._local_hybrid(d, out_dim, out_dim, chunk, sl)
+        got = np.asarray(spmm.spmv_hybrid(f, op, jnp.asarray(x)))
+        ref = np.zeros((out_dim, 4), np.int64)
+        np.add.at(ref, oi,
+                  xv.astype(np.int64)[:, None] * x[ii].astype(np.int64) % p)
+        np.testing.assert_array_equal(got, ref % p)
