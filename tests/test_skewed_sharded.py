@@ -150,3 +150,21 @@ def test_skewed_checkpoint_cross_layout_resume(tmp_path):
     resumed_mesh = ShardedBlockLanczos(M, n=n, mesh=make_mesh(2)).solve(
         stop_after=6, resume_state=state)
     np.testing.assert_array_equal(resumed_mesh.kernel, straight.kernel)
+
+
+def test_skewed_right_kernel_parity():
+    """--right with the SKEW on the column (kernel) dimension: the
+    generator's native Zipf column popularity is exactly this shape, so no
+    transpose — the balanced col-side map must engage and stay bit-exact
+    with the single-device right solve."""
+    i, j, x = random_sparse_skewed(5000, 3000, 8, seed=11, alpha=1.2)
+    order = np.lexsort((j, i))
+    M = COOMatrix(5000, 3000, len(x), i[order].astype(np.int32),
+                  j[order].astype(np.int32),
+                  (x[order] % PRIME).astype(np.uint32), PRIME)
+    ref = BlockLanczos(M, n=4, right=True).solve(stop_after=4)
+    sharded = ShardedBlockLanczos(M, n=4, right=True, mesh=make_mesh(8))
+    stats = sharded.ops.stats
+    assert stats is not None and stats.row_balanced  # kernel dim = columns
+    res = sharded.solve(stop_after=4)
+    np.testing.assert_array_equal(res.kernel, ref.kernel)
