@@ -44,6 +44,14 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    # axon's sitecustomize registers the TPU backend programmatically and
+    # beats JAX_PLATFORMS from the environment — sync the env request so
+    # `JAX_PLATFORMS=cpu python benchmarks/ablate_wide.py` works (same
+    # guard as utils/cli.py).
+    env_plat = os.environ.get("JAX_PLATFORMS")
+    if env_plat:
+        jax.config.update("jax_platforms", env_plat)
     import jax.numpy as jnp
     import numpy as np
 
