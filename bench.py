@@ -249,11 +249,53 @@ def bench_reference_seq(mtx_path, prime=PRIME, n=N_BLOCK, iters=REF_ITERS,
     return result
 
 
+def _cached_fallback(reason: str) -> bool:
+    """Republish the last real measurement, EXPLICITLY flagged as cached.
+
+    The tunneled chip goes down for hours at a time and a dead tunnel
+    HANGS dispatch rather than raising — better a flagged stale artifact
+    than none.  Returns False when no cached result exists."""
+    last_path = os.path.join(CACHE_DIR, "last_result.json")
+    try:
+        with open(last_path) as fh:
+            prev = json.load(fh)
+    except (OSError, ValueError):
+        return False
+    prev["cached"] = True
+    prev["cache_reason"] = reason[:200]
+    print(json.dumps(prev))
+    return True
+
+
+def _watchdog_main() -> int:
+    """Run the real bench in a child with a hard wall-clock bound; on
+    timeout/crash fall back to the flagged cached result."""
+    env = dict(os.environ)
+    env["BLANCZOS_BENCH_INNER"] = "1"
+    budget = int(os.environ.get("BLANCZOS_BENCH_TIMEOUT", "5400"))
+    try:
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, timeout=budget, capture_output=True,
+                           text=True)
+    except subprocess.TimeoutExpired:
+        return 0 if _cached_fallback(f"bench exceeded {budget}s "
+                                     "(device unreachable?)") else 1
+    sys.stderr.write(r.stderr)
+    lines = [ln for ln in r.stdout.splitlines() if ln.strip()]
+    if r.returncode == 0 and lines:
+        print(lines[-1])
+        return 0
+    return 0 if _cached_fallback(
+        f"bench failed rc={r.returncode}: {lines[-1] if lines else ''}"
+    ) else (r.returncode or 1)
+
+
 def main():
     mtx = ensure_matrix()
     from block_lanczos_tpu.utils.mmio import load_mtx
     M = load_mtx(mtx, PRIME)
 
+    last_path = os.path.join(CACHE_DIR, "last_result.json")
     (ours_per_iter, ours_n32, ours_gf2_128, ours_gf2_256,
      ours_wide) = bench_ours(M)
     nnz_per_s = 2 * M.nnz / ours_per_iter  # two SpMV passes per iteration
@@ -320,8 +362,16 @@ def main():
                  if 128 in at_scale and 256 in at_scale else None),
         },
     }
+    try:
+        with open(last_path, "w") as fh:
+            json.dump(result, fh)
+    except OSError:
+        pass
     print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BLANCZOS_BENCH_INNER"):
+        main()
+    else:
+        sys.exit(_watchdog_main())
