@@ -242,8 +242,11 @@ def main(argv=None) -> int:
             rowmap=None if row_map is None else row_map.rowmap())
 
     def on_iteration(slv, iteration, v, p_blk, start):
-        verb.n_iterations = iteration - 1
-        if is_root:
+        # iteration == 0 happens when the very first probe converges (the
+        # stopping iteration is uncounted): nothing to report, but the
+        # checkpoint due-check below must still run (it is collective).
+        verb.n_iterations = max(iteration - 1, 0)
+        if is_root and iteration > 0:
             verb.tick(start)
         if manager is not None:  # collective in multi-process mode
             manager.maybe_save(iteration, v, p_blk, start,

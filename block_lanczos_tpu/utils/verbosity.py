@@ -43,6 +43,14 @@ class VerbosityEngine:
 
     def tick(self, start_time: float):
         self.n_iterations += 1
+        # Instances that converge at iteration 0 (e.g. a matrix whose
+        # coefficients are all ≡ 0 mod p) reach here with a non-positive
+        # count: there is no per-iteration rate to report, and the reference
+        # prints no progress line either — it goes straight to the final
+        # check (reference: sequential/lanczos_modp.c:649-663).
+        if self.n_iterations <= 0:
+            self.n_iterations = 0
+            return
         elapsed = (time.time() - start_time) + self.extra_time
         if elapsed - self._last_print < self.min_interval:
             return
