@@ -110,11 +110,34 @@ def bench_ours(M):
             per_iter_gf2(128), per_iter_gf2(256), per_iter_wide(N_BLOCK))
 
 
+def _gf2_code_fingerprint() -> str:
+    """Hash of the sources that determine the GF(2) mesh solver's compute
+    path: the at-scale min-record cache is only merged when the code that
+    produced it is unchanged, so a perf regression can never hide behind a
+    stale faster record (ADVICE r3)."""
+    import hashlib
+    pkg = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "block_lanczos_tpu")
+    h = hashlib.sha256()
+    for rel in ("ops/gf2.py", "ops/spmm.py", "models/lanczos_gf2.py",
+                "parallel/distributed_gf2.py", "parallel/sharding.py",
+                "parallel/collectives.py"):
+        try:
+            with open(os.path.join(pkg, rel), "rb") as fh:
+                h.update(fh.read())
+        except OSError:
+            h.update(rel.encode())
+    return h.hexdigest()[:16]
+
+
 def bench_gf2_at_scale():
     """Driver-captured 51M-nnz GF(2) rows (BASELINE config-4 scale): the
     n=256 blocking's ~1.8x TTS win must survive at factorization scale —
     round 2 could not even compile that program (per-bit trace unrolls;
-    fixed by the word-level gf2 kernels).  Returns {n: s_per_iteration}."""
+    fixed by the word-level gf2 kernels).  Returns {n: s_per_iteration};
+    rows whose published value came from the disk cache rather than this
+    run's fresh measurement are listed in the companion set (second
+    return value)."""
     from block_lanczos_tpu.parallel.distributed_gf2 import (
         ShardedBlockLanczosGF2, partition_matrix_gf2)
     from block_lanczos_tpu.parallel.mesh import make_mesh
@@ -145,17 +168,22 @@ def bench_gf2_at_scale():
     # run (e.g. the measurement queue) spares the round-end bench the
     # recompiles entirely.
     cache_path = os.path.join(CACHE_DIR, "gf2_at_scale_cache.json")
+    fp = _gf2_code_fingerprint()
     try:
         with open(cache_path) as fh:
-            cache = {int(k): v for k, v in json.load(fh).items()}
+            raw = json.load(fh)
     except (OSError, ValueError):
-        cache = {}
+        raw = {}
+    # legacy flat {n: v} caches carry no fingerprint — treat as stale
+    cache = ({int(k): v for k, v in raw.get("rows", {}).items()}
+             if raw.get("fingerprint") == fp else {})
     if os.environ.get("BLANCZOS_AT_SCALE_CACHED_ONLY") and cache:
-        return cache
+        return cache, set(cache)
 
     mesh = make_mesh(1)
     ops = partition_matrix_gf2(M2, False, mesh)
     out = dict(cache)
+    from_cache = set(cache)
     try:
         for n_blk in (128, 256):
             solver = ShardedBlockLanczosGF2(M2, n=n_blk, mesh=mesh,
@@ -174,6 +202,8 @@ def bench_gf2_at_scale():
             np.asarray(v)
             fresh = (time.perf_counter() - t0) / max(int(rest[-1]), 1)
             out[n_blk] = min(fresh, cache.get(n_blk, float("inf")))
+            if fresh <= cache.get(n_blk, float("inf")):
+                from_cache.discard(n_blk)
     except Exception as e:
         # tunnel drops mid-measurement must not lose the cached rows
         if not out:
@@ -183,10 +213,11 @@ def bench_gf2_at_scale():
     cache.update(out)
     try:
         with open(cache_path, "w") as fh:
-            json.dump(cache, fh)
+            json.dump({"fingerprint": fp,
+                       "rows": {str(k): v for k, v in cache.items()}}, fh)
     except OSError:
         pass
-    return out
+    return out, from_cache
 
 
 def bench_reference_seq(mtx_path, prime=PRIME, n=N_BLOCK, iters=REF_ITERS,
@@ -301,10 +332,12 @@ def main():
     nnz_per_s = 2 * M.nnz / ours_per_iter  # two SpMV passes per iteration
 
     try:
-        at_scale = bench_gf2_at_scale()   # 51M-nnz factorization scale
+        # 51M-nnz factorization scale; rows published from a prior run's
+        # min-record (same code fingerprint) are named in at_scale_cached
+        at_scale, at_scale_cached = bench_gf2_at_scale()
     except Exception as e:                # never lose the headline rows
         print(f"at-scale GF(2) bench failed: {e}", file=sys.stderr)
-        at_scale = {}
+        at_scale, at_scale_cached = {}, set()
 
     ref_per_iter = bench_reference_seq(mtx)
     vs_baseline = (ref_per_iter / ours_per_iter) if ref_per_iter else None
@@ -360,6 +393,9 @@ def main():
             "gf2_51m_n256_tts_speedup_vs_n128":
                 (round(at_scale[128] * 256 / (at_scale[256] * 128), 2)
                  if 128 in at_scale and 256 in at_scale else None),
+            # rows above whose value is a prior run's min-record (same code
+            # fingerprint) rather than this run's fresh measurement
+            "gf2_51m_rows_from_cache": sorted(at_scale_cached),
         },
     }
     try:

@@ -326,10 +326,12 @@ def spmv_wide(f: GFpWide, op: WideHybridOp, x, out_rows: int | None = None):
     product is limb-split into 15-bit u32 limbs and ADDED (exact while
     ell <= 2^17 terms per limb sum), with ONE limb_combine fold after the
     walk — the narrow path's deferred-reduction idiom (ops/spmm.py)
-    lifted to pairs.  Per-slot pair modadd (64-bit add + compare +
-    conditional subtract per slot) was measured ~35% slower at bench
-    shapes (PERF.md "Wide-field iteration ablation").  Bit-identical:
-    both forms produce the canonical representative in [0, p).
+    lifted to pairs.  The alternative — per-slot pair modadd (64-bit add
+    + compare + conditional subtract per slot) — measures slower in the
+    `real` vs `deferred` variants of benchmarks/ablate_wide.py (PERF.md
+    "Wide-field iteration ablation" records the numbers per backend).
+    Bit-identical: both forms produce the canonical representative in
+    [0, p).
     """
     if out_rows is None:
         out_rows = op.out_dim

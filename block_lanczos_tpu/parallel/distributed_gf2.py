@@ -28,7 +28,10 @@ from block_lanczos_tpu.parallel.mesh import COLS_AXIS, ROWS_AXIS
 from block_lanczos_tpu.parallel.multihost import fetch_global, put_global
 from block_lanczos_tpu.parallel.sharding import (BandMap, DirStats,
                                                  PartitionStats,
-                                                 _grid_maps, _grid_parts)
+                                                 _addressable_parts,
+                                                 _announce_local_build,
+                                                 _grid_maps, _grid_parts,
+                                                 _lazy_stack)
 from block_lanczos_tpu.utils.mmio import COOMatrix
 from block_lanczos_tpu.utils.rng import Xoshiro256Plus
 
@@ -36,14 +39,35 @@ from block_lanczos_tpu.utils.rng import Xoshiro256Plus
 def pxor(x, axis_name: str):
     """Exact XOR all-reduce over a mesh axis.
 
-    XOR has no native collective; bitwise parity does: expand each uint32
-    word into 32 uint8 bit-planes, psum them (exact for up to 255 devices
-    per axis), and keep the low bit.  psum also yields the axis-invariant
-    result type that lets the value live in while_loop carries under
-    shard_map (an all_gather + local fold stays "varying" and cannot).
-    8x the payload of an ideal XOR reduce — payloads here are (band, n/32)
-    words, so this is noise next to the SpMV.
+    XOR has no native collective; bitwise parity does: spread each uint32
+    word into L-bit lanes (one lane per bit), psum the lanes — each lane
+    accumulates up to 2^L - 1 device contributions without carrying into
+    its neighbor — and keep each lane's low bit (the parity).  psum also
+    yields the axis-invariant result type that lets the value live in
+    while_loop carries under shard_map (an all_gather + local fold stays
+    "varying" and cannot).
+
+    L is picked from the static axis size: 2-bit lanes up to 3 devices,
+    nibbles up to 15, bytes up to 255 — 2x/4x/8x the ideal XOR payload.
+    Round 3 shipped fixed uint8 bit-planes (32 planes = 8x payload +
+    a 32-wide recombine); the lane packing halves the collective volume
+    at <= 15 devices per axis and shrinks the spread/recombine work to
+    L elementwise ops (measured in benchmarks/gf2_mesh_overhead.py).
     """
+    size = jax.lax.axis_size(axis_name)
+    lane = 2 if size <= 3 else 4 if size <= 15 else 8
+    mask = u32({2: 0x55555555, 4: 0x11111111, 8: 0x01010101}[lane])
+    ks = jnp.arange(lane, dtype=u32)
+    spread = (x[..., None] >> ks) & mask          # (..., L) uint32
+    s = jax.lax.psum(spread, axis_name)
+    # low bit of each lane = parity; set bits never overlap across k,
+    # so the sum over the lane axis IS the bitwise OR recombine
+    return ((s & mask) << ks).sum(axis=-1, dtype=u32)
+
+
+def _pxor_planes(x, axis_name: str):
+    """Round-3 pxor (32 uint8 bit-planes): kept as the A/B yardstick for
+    benchmarks/gf2_mesh_overhead.py; bit-identical results."""
     shifts = jnp.arange(WORD, dtype=u32)
     planes = ((x[..., None] >> shifts) & u32(1)).astype(jnp.uint8)
     s = jax.lax.psum(planes, axis_name)
@@ -111,12 +135,46 @@ def partition_matrix_gf2(M: COOMatrix, right: bool, mesh: jax.sharding.Mesh,
     second_parts = [(lk, lo) for (lk, lo, _x) in second3]
 
     nnz_sharding = NamedSharding(mesh, P(ROWS_AXIS, COLS_AXIS))
+    local = _addressable_parts(mesh)   # multi-host: build only our blocks
+    _announce_local_build(local, R, C)
 
     def build_dir(parts, out_dim) -> _GF2StackedDir:
         from block_lanczos_tpu.ops.spmm import choose_ell_width_multi
-        ell = choose_ell_width_multi(
-            [np.bincount(oi, minlength=out_dim) if len(oi)
-             else np.zeros(out_dim, np.int64) for (oi, _ii) in parts])
+        counts_list = [np.bincount(oi, minlength=out_dim) if len(oi)
+                       else np.zeros(out_dim, np.int64)
+                       for (oi, _ii) in parts]
+        ell = choose_ell_width_multi(counts_list)
+        if local is not None:
+            # Shard-local multi-host build: GF(2) spills are exact from the
+            # count model (first ell entries of every row go to the slab,
+            # the rest spill — no evictions, no seg-safety constraint), so
+            # every process agrees on the padded shapes without building
+            # non-local blocks.
+            spill_pad = max(max(int(np.maximum(c - ell, 0).sum())
+                                for c in counts_list), 1)
+            built = {}
+            for k, (oi, ii) in enumerate(parts):
+                r, c = divmod(k, C)
+                if (r, c) not in local:
+                    continue
+                arrs = lg.build_gf2_arrays(oi, ii, out_dim, ell=ell,
+                                           spill_pad_to=spill_pad)
+                cols2d, valid, (s_o, s_i, _n, s_rp), _nnz, _e = arrs
+                assert s_o.shape[0] == spill_pad, (s_o.shape, spill_pad)
+                built[(r, c)] = (cols2d, valid, s_o, s_i, s_rp)
+            vwords = (ell + WORD - 1) // WORD
+            return _GF2StackedDir(
+                ell=ell,
+                cols=_lazy_stack(built, R, C, nnz_sharding, 0,
+                                 (out_dim, ell), np.int32),
+                valid=_lazy_stack(built, R, C, nnz_sharding, 1,
+                                  (out_dim, vwords), np.uint32),
+                spill_out=_lazy_stack(built, R, C, nnz_sharding, 2,
+                                      (spill_pad,), np.int32),
+                spill_in=_lazy_stack(built, R, C, nnz_sharding, 3,
+                                     (spill_pad,), np.int32),
+                spill_rowptr=_lazy_stack(built, R, C, nnz_sharding, 4,
+                                         (out_dim + 1,), np.int32))
         built, spill_pad = [], 1
         for (oi, ii) in parts:
             arrs = lg.build_gf2_arrays(oi, ii, out_dim, ell=ell)

@@ -32,7 +32,10 @@ from block_lanczos_tpu.parallel.mesh import COLS_AXIS, ROWS_AXIS
 from block_lanczos_tpu.parallel.multihost import fetch_global, put_global
 from block_lanczos_tpu.parallel.sharding import (BandMap, DirStats,
                                                  PartitionStats,
-                                                 _grid_maps, _grid_parts)
+                                                 _addressable_parts,
+                                                 _announce_local_build,
+                                                 _grid_maps, _grid_parts,
+                                                 _lazy_stack)
 from block_lanczos_tpu.utils.mmio import COOMatrix
 from block_lanczos_tpu.utils.rng import Xoshiro256Plus
 
@@ -97,12 +100,56 @@ def partition_matrix_wide(f: GFpWide, M: COOMatrix, right: bool,
         key, other, x_obj, row_map, col_map)
 
     nnz_sharding = NamedSharding(mesh, P(ROWS_AXIS, COLS_AXIS))
+    local = _addressable_parts(mesh)   # multi-host: build only our blocks
+    _announce_local_build(local, R, C)
 
     def build_dir(parts, out_dim) -> _WideStackedDir:
         from block_lanczos_tpu.ops.spmm import choose_ell_width_multi
-        ell = choose_ell_width_multi(
-            [np.bincount(oi, minlength=out_dim) if len(oi)
-             else np.zeros(out_dim, np.int64) for (oi, _ii, _xv) in parts])
+        counts_list = [np.bincount(oi, minlength=out_dim) if len(oi)
+                       else np.zeros(out_dim, np.int64)
+                       for (oi, _ii, _xv) in parts]
+        ell = choose_ell_width_multi(counts_list)
+        if local is not None:
+            # Shard-local multi-host build.  Fold the dense-row guard into
+            # the agreed width up front (build_wide_hybrid_arrays widens ell
+            # so no spill segment exceeds the 2^17 limb-sum cap); the spill
+            # sizes are then exact from the count model (lexsorted rows, no
+            # evictions), so all processes agree on the padded shapes
+            # without building non-local blocks — and in particular without
+            # running the expensive host-side Montgomery conversion on
+            # blocks this process does not own.
+            max_count = max((int(c.max()) if c.size else 0)
+                            for c in counts_list)
+            if max_count - ell > gw.LIMB_SUM_MAX:
+                ell = max_count - gw.LIMB_SUM_MAX
+            spill_pad = max(max(int(np.maximum(c - ell, 0).sum())
+                                for c in counts_list), 1)
+            built = {}
+            for k, (oi, ii, xv) in enumerate(parts):
+                r, c = divmod(k, C)
+                if (r, c) not in local:
+                    continue
+                arrs = wo.build_wide_hybrid_arrays(
+                    f, oi, ii, xv, out_dim, ell=ell, spill_pad_to=spill_pad)
+                cols2d, vals2d, (s_o, s_i, s_v, _n, s_rp), _nnz, got_ell = \
+                    arrs
+                assert got_ell == ell and s_o.shape[0] == spill_pad, (
+                    got_ell, ell, s_o.shape, spill_pad)
+                built[(r, c)] = (cols2d, vals2d, s_o, s_i, s_v, s_rp)
+            return _WideStackedDir(
+                ell=ell,
+                cols=_lazy_stack(built, R, C, nnz_sharding, 0,
+                                 (out_dim, ell), np.int32),
+                vals=_lazy_stack(built, R, C, nnz_sharding, 1,
+                                 (out_dim, ell, 2), np.uint32),
+                spill_out=_lazy_stack(built, R, C, nnz_sharding, 2,
+                                      (spill_pad,), np.int32),
+                spill_in=_lazy_stack(built, R, C, nnz_sharding, 3,
+                                     (spill_pad,), np.int32),
+                spill_val=_lazy_stack(built, R, C, nnz_sharding, 4,
+                                      (spill_pad, 2), np.uint32),
+                spill_rowptr=_lazy_stack(built, R, C, nnz_sharding, 5,
+                                         (out_dim + 1,), np.int32))
         built, spill_pad = [], 1
         for (oi, ii, xv) in parts:
             arrs = wo.build_wide_hybrid_arrays(f, oi, ii, xv, out_dim,

@@ -356,6 +356,27 @@ def _addressable_parts(mesh: jax.sharding.Mesh):
     return out
 
 
+def _lazy_stack(built: dict, R: int, C: int, nnz_sharding, slot: int,
+                shape_tail, dtype):
+    """Stacked (R, C, *shape_tail) array materializing ONLY this process's
+    blocks: jax.make_array_from_callback invokes the callback just for
+    addressable shards, which are exactly the keys of `built`."""
+    def cb(idx):
+        r = idx[0].start or 0
+        c = idx[1].start or 0
+        return np.asarray(built[(r, c)][slot], dtype)[None, None]
+    return jax.make_array_from_callback(
+        (R, C) + tuple(shape_tail), nnz_sharding, cb)
+
+
+def _announce_local_build(local, R: int, C: int):
+    if local is not None:
+        import sys
+        print(f"  - multi-host build: materializing {len(local)}/{R * C} "
+              f"matrix blocks on process {jax.process_index()}",
+              file=sys.stderr)
+
+
 def _build_dir(f: GFp, parts, out_dim: int, R: int, C: int,
                nnz_sharding, chunk: int, delta: bool = True,
                local=None) -> _StackedDir:
@@ -465,12 +486,8 @@ def _build_dir_local(f: GFp, parts, counts_list, out_dim: int, ell: int,
         assert s_o.shape[0] == spill_pad, (s_o.shape, spill_pad)
 
     def lazy(slot: int, shape_tail, dtype):
-        def cb(idx):
-            r = idx[0].start or 0
-            c = idx[1].start or 0
-            return np.asarray(built[(r, c)][slot], dtype)[None, None]
-        return jax.make_array_from_callback(
-            (R, C) + tuple(shape_tail), nnz_sharding, cb)
+        return _lazy_stack(built, R, C, nnz_sharding, slot, shape_tail,
+                           dtype)
 
     return _StackedDir(
         ell=ell, seg_safe=seg_safe,
@@ -561,11 +578,7 @@ def partition_matrix(f: GFp, M: COOMatrix, right: bool,
 
     nnz_sharding = NamedSharding(mesh, P(ROWS_AXIS, COLS_AXIS))
     local = _addressable_parts(mesh)   # multi-host: build only our blocks
-    if local is not None:
-        import sys
-        print(f"  - multi-host build: materializing {len(local)}/{R * C} "
-              f"matrix blocks on process {jax.process_index()}",
-              file=sys.stderr)
+    _announce_local_build(local, R, C)
     first = _build_dir_banded(f, first_parts, mband, band, n, R, C,
                               nnz_sharding, chunk, local=local)
     second = _build_dir_banded(f, second_parts, band, mband, n, R, C,
@@ -647,14 +660,20 @@ def partition_matrix_overlap(f: GFp, M: COOMatrix, right: bool,
                    xv[~m_lk]))
 
     nnz_sharding = NamedSharding(mesh, P(ROWS_AXIS, COLS_AXIS))
+    local = _addressable_parts(mesh)   # multi-host: build only our blocks
+    _announce_local_build(local, R, C)
     ops = OverlapShardedOps(
         grid=(R, C), band=band, mband=mband,
         np_rows=band * R, mp_rows=mband * C, n_eff=n_eff, m_eff=m_eff,
         ha=ha, hb=hb,
-        first_a=_build_dir(f, fa, ha, R, C, nnz_sharding, chunk),
-        first_b=_build_dir(f, fb, mband - ha, R, C, nnz_sharding, chunk),
-        second_a=_build_dir(f, sa, hb, R, C, nnz_sharding, chunk),
-        second_b=_build_dir(f, sb, band - hb, R, C, nnz_sharding, chunk),
+        first_a=_build_dir(f, fa, ha, R, C, nnz_sharding, chunk,
+                           local=local),
+        first_b=_build_dir(f, fb, mband - ha, R, C, nnz_sharding, chunk,
+                           local=local),
+        second_a=_build_dir(f, sa, hb, R, C, nnz_sharding, chunk,
+                            local=local),
+        second_b=_build_dir(f, sb, band - hb, R, C, nnz_sharding, chunk,
+                            local=local),
         chunk=chunk, row_map=row_map, col_map=col_map)
     fs = _dir_stats(ops.first_a), _dir_stats(ops.first_b)
     ss = _dir_stats(ops.second_a), _dir_stats(ops.second_b)

@@ -7,7 +7,12 @@ dryrun_multichip uses; real-TPU runs happen via bench.py / the CLI.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# HARD-set, not setdefault: the host shell exports JAX_PLATFORMS=axon, and
+# in-process CLI runs (utils/cli.py) sync the ENV value back into the jax
+# config — a setdefault would leave 'axon' in place and the first
+# jax.process_index() would try to initialize the tunneled TPU backend
+# inside the CPU-only test suite (hangs when the tunnel is half-up).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -159,3 +159,167 @@ def test_sharded_checkpoint_resumes_single_process(tmp_path):
     full = BlockLanczos(M, n=4).solve()
     assert resumed.iterations == full.iterations
     np.testing.assert_array_equal(resumed.kernel, full.kernel)
+
+
+# ---------------------------------------------------------------------------
+# Round 4: the wide and GF(2) mesh solvers under REAL jax.distributed
+# processes (round 3 covered the narrow field only).  Reference analogue:
+# any variant runs under mpiexec (mpi/lanczos_modp.c:505-566, README.md:39-46).
+# ---------------------------------------------------------------------------
+
+WIDE_P = (1 << 61) - 1
+
+
+def test_local_build_gf2_matches_replicated(monkeypatch):
+    """GF(2) shard-local build (count-model statics + per-shard callbacks)
+    is bit-identical to the replicated build."""
+    from block_lanczos_tpu.parallel import sharding as shard_lib
+    from block_lanczos_tpu.parallel.distributed_gf2 import ShardedBlockLanczosGF2
+    from block_lanczos_tpu.parallel.mesh import make_mesh_grid
+
+    M = mmio.load_mtx(os.path.join(GOLDEN, "left_p2_n32.mtx"), 2)
+    ref = ShardedBlockLanczosGF2(M, n=32, mesh=make_mesh_grid(4, 2)).solve()
+    monkeypatch.setattr(
+        shard_lib, "_addressable_parts",
+        lambda mesh: {(r, c) for r in range(4) for c in range(2)})
+    res = ShardedBlockLanczosGF2(M, n=32, mesh=make_mesh_grid(4, 2)).solve()
+    np.testing.assert_array_equal(res.kernel, ref.kernel)
+    assert res.iterations == ref.iterations
+
+
+def test_local_build_wide_matches_replicated(monkeypatch):
+    """Wide shard-local build (ell clamp folded into the agreed width) is
+    bit-identical to the replicated build."""
+    from block_lanczos_tpu.parallel import sharding as shard_lib
+    from block_lanczos_tpu.parallel.distributed_wide import ShardedBlockLanczosWide
+    from block_lanczos_tpu.parallel.mesh import make_mesh_grid
+
+    M = mmio.load_mtx(os.path.join(GOLDEN, "left_pbig_n4.mtx"), WIDE_P)
+    ref = ShardedBlockLanczosWide(M, n=4, mesh=make_mesh_grid(4, 2)).solve()
+    monkeypatch.setattr(
+        shard_lib, "_addressable_parts",
+        lambda mesh: {(r, c) for r in range(4) for c in range(2)})
+    res = ShardedBlockLanczosWide(M, n=4, mesh=make_mesh_grid(4, 2)).solve()
+    np.testing.assert_array_equal(res.kernel, ref.kernel)
+    assert res.iterations == ref.iterations
+
+
+def test_local_build_overlap_matches_replicated(monkeypatch):
+    """Overlap-mode shard-local build is bit-identical to the replicated
+    build (the overlap partitioner splits each direction in two)."""
+    from block_lanczos_tpu.parallel import sharding as shard_lib
+    from block_lanczos_tpu.parallel.distributed import ShardedBlockLanczos
+    from block_lanczos_tpu.parallel.mesh import make_mesh_grid
+
+    M = mmio.load_mtx(os.path.join(GOLDEN, "left_p65537_n4.mtx"), 65537)
+    ref = ShardedBlockLanczos(M, n=4, mesh=make_mesh_grid(4, 2),
+                              overlap=True).solve()
+    monkeypatch.setattr(
+        shard_lib, "_addressable_parts",
+        lambda mesh: {(r, c) for r in range(4) for c in range(2)})
+    res = ShardedBlockLanczos(M, n=4, mesh=make_mesh_grid(4, 2),
+                              overlap=True).solve()
+    np.testing.assert_array_equal(res.kernel, ref.kernel)
+    assert res.iterations == ref.iterations
+
+
+@pytest.mark.slow
+def test_two_process_gf2_golden_parity_and_local_build(tmp_path):
+    """GF(2) bitsliced mesh solver under 2 real processes: byte-identical to
+    the committed reference golden, with each process materializing only its
+    addressable matrix blocks."""
+    mtx = os.path.join(GOLDEN, "left_p2_n32.mtx")
+    out = str(tmp_path / "k_gf2_mp.mtx")
+    outs = _run_procs(2, 4, ["--matrix", mtx, "--prime", "2", "--n", "32",
+                             "--devices", "8", "--output-file", out,
+                             "--no-checks"])
+    for o in outs:
+        assert "materializing 4/8 matrix blocks" in o, o
+    with open(out, "rb") as f:
+        got = f.read()
+    with open(os.path.join(GOLDEN, "left_p2_n32.kernel.mtx"), "rb") as f:
+        ref = f.read()
+    assert got == ref
+
+
+@pytest.mark.slow
+def test_two_process_wide_parity_and_local_build(tmp_path):
+    """Wide-field mesh solver under 2 real processes: byte-identical to the
+    single-process solve at the same prime (the reference cannot run wide
+    primes at all — self-parity is the oracle), shard-local build active,
+    and the kernel validates with the independent checker."""
+    from block_lanczos_tpu.utils import checker, cli
+    mtx = os.path.join(GOLDEN, "left_pbig_n4.mtx")
+    ref_out = str(tmp_path / "k_wide_1p.mtx")
+    rc = cli.main(["--matrix", mtx, "--prime", str(WIDE_P), "--n", "4",
+                   "--devices", "8", "--output-file", ref_out, "--no-checks"])
+    assert rc == 0
+    out = str(tmp_path / "k_wide_mp.mtx")
+    outs = _run_procs(2, 4, ["--matrix", mtx, "--prime", str(WIDE_P),
+                             "--n", "4", "--devices", "8",
+                             "--output-file", out, "--no-checks"])
+    for o in outs:
+        assert "materializing 4/8 matrix blocks" in o, o
+    with open(out, "rb") as f:
+        got = f.read()
+    with open(ref_out, "rb") as f:
+        ref = f.read()
+    assert got == ref
+    assert checker.check_kernel_file(mtx, out, WIDE_P) is True
+
+
+@pytest.mark.slow
+def test_two_process_gf2_checkpoint_resume(tmp_path):
+    """GF(2): per-host sharded checkpoint written by 2 processes, resumed by
+    2 processes, final kernel byte-identical to the reference golden."""
+    mtx = os.path.join(GOLDEN, "left_p2_n32.mtx")
+    ckdir = str(tmp_path / "ck")
+    _run_procs(2, 4, ["--matrix", mtx, "--prime", "2", "--n", "32",
+                      "--devices", "8", "--stop-after", "2",
+                      "--sync-every", "1", "--checkpoint", "0",
+                      "--checkpoint-dir", ckdir, "--no-checks"])
+    state = ckpt.load_checkpoint(ckdir)
+    assert state["iteration"] > 0
+    assert state["shard_files"] == 2
+    assert state["field"] == "gf2"
+    out = str(tmp_path / "k_resume.mtx")
+    _run_procs(2, 4, ["--matrix", mtx, "--prime", "2", "--n", "32",
+                      "--devices", "8", "--load-checkpoint",
+                      "--checkpoint-dir", ckdir,
+                      "--output-file", out, "--no-checks"])
+    with open(out, "rb") as f:
+        got = f.read()
+    with open(os.path.join(GOLDEN, "left_p2_n32.kernel.mtx"), "rb") as f:
+        ref = f.read()
+    assert got == ref
+
+
+@pytest.mark.slow
+def test_two_process_wide_checkpoint_resume(tmp_path):
+    """Wide field: per-host sharded checkpoint + cross-process resume; the
+    resumed kernel equals an uninterrupted single-process solve."""
+    from block_lanczos_tpu.utils import cli
+    mtx = os.path.join(GOLDEN, "left_pbig_n4.mtx")
+    ref_out = str(tmp_path / "k_wide_full.mtx")
+    rc = cli.main(["--matrix", mtx, "--prime", str(WIDE_P), "--n", "4",
+                   "--devices", "8", "--output-file", ref_out, "--no-checks"])
+    assert rc == 0
+    ckdir = str(tmp_path / "ck")
+    _run_procs(2, 4, ["--matrix", mtx, "--prime", str(WIDE_P), "--n", "4",
+                      "--devices", "8", "--stop-after", "6",
+                      "--sync-every", "2", "--checkpoint", "0",
+                      "--checkpoint-dir", ckdir, "--no-checks"])
+    state = ckpt.load_checkpoint(ckdir)
+    assert state["iteration"] > 0
+    assert state["shard_files"] == 2
+    assert state["field"] == "wide"
+    out = str(tmp_path / "k_resume.mtx")
+    _run_procs(2, 4, ["--matrix", mtx, "--prime", str(WIDE_P), "--n", "4",
+                      "--devices", "8", "--load-checkpoint",
+                      "--checkpoint-dir", ckdir,
+                      "--output-file", out, "--no-checks"])
+    with open(out, "rb") as f:
+        got = f.read()
+    with open(ref_out, "rb") as f:
+        ref = f.read()
+    assert got == ref
