@@ -7,18 +7,27 @@ This harness decomposes the K-device iteration into:
 
   local   — local work only: collectives replaced by identity (needs
             check_vma=False; results are WRONG, timing is right)
-  tiny    — same collective COUNT, ~zero payload (psum of one word,
-            broadcast): local + per-call latency
   lane    — the production pxor (L-bit lane packing, round 4)
   planes  — the round-3 pxor (32 uint8 bit-planes, 2x the volume at K<=15)
 
-so per-iteration overhead splits into latency (tiny - local) and volume
-(lane - tiny), and the emulation-granularity hypothesis is testable by
-scaling the matrix: if the overhead is fixed per-call cost, its SHARE
-shrinks as local work grows.
+so per-iteration overhead = lane - local, the lane-vs-planes delta is the
+collective-volume term, and the emulation-granularity hypothesis is
+testable by scaling the matrix: if the overhead is dominated by
+per-dispatch costs, its SHARE shrinks as local work grows.
+
+A "tiny payload" variant (psum one word, broadcast to shape) was tried
+and REJECTED as a latency probe: XLA folds the downstream gathers of a
+broadcast value, deleting most of the next SpMV's work — it measures an
+unrelated, much smaller program.
 
 The stop probe is disabled while timing (wrong-math variants would
 otherwise converge spuriously at iteration 0 and time nothing).
+
+NOTE on absolute numbers: virtual devices share this host's cores (ONE
+core as of round 4 — round 3's scaling CSVs ran with more), so K-device
+runs serialize and absolute ms are not comparable across rounds; the
+variant DELTAS at fixed (scale, K) and the K8/K1 ratio trend across
+scales are the meaningful outputs.
 
 Usage: python benchmarks/gf2_mesh_overhead.py --cpu 8 --iters 8
 """
@@ -73,11 +82,6 @@ def main():
 
     gf2ops.semi_inverse_gf2 = semi_nostop
 
-    def pxor_tiny(x, axis_name):
-        # timing-only: one collective of ~zero volume; WRONG results
-        s = jax.lax.psum(x[:1, :1], axis_name)
-        return jnp.broadcast_to(s, x.shape)
-
     def pxor_none(x, axis_name):
         return x  # timing-only; requires check_vma=False
 
@@ -89,7 +93,6 @@ def main():
 
     variants = {
         "local": (pxor_none, shard_map_nocheck),
-        "tiny": (pxor_tiny, orig_shard_map),
         "lane": (dg.pxor, orig_shard_map),
         "planes": (dg._pxor_planes, orig_shard_map),
     }
@@ -139,13 +142,12 @@ def main():
         K = max(args.meshes)
         if (K, "local") in d:
             base, loc = d[(1, "lane")], d[(K, "local")]
-            lat = d[(K, "tiny")] - loc
-            vol = d[(K, "lane")] - d[(K, "tiny")]
-            vol3 = d[(K, "planes")] - d[(K, "tiny")]
             print(f"   K={K} attribution: local {loc * 1000:.2f} ms "
-                  f"(K=1: {base * 1000:.2f}), latency +{lat * 1000:.2f}, "
-                  f"volume(lane) +{vol * 1000:.2f}, "
-                  f"volume(planes r3) +{vol3 * 1000:.2f}", file=sys.stderr)
+                  f"(K=1: {base * 1000:.2f}); collective overhead "
+                  f"lane +{(d[(K, 'lane')] - loc) * 1000:.2f} / "
+                  f"planes(r3) +{(d[(K, 'planes')] - loc) * 1000:.2f}; "
+                  f"K{K}/K1 ratio {d[(K, 'lane')] / base:.2f}x",
+                  file=sys.stderr)
 
     with open(args.out, "w", newline="") as fh:
         w = csv.writer(fh)
