@@ -139,7 +139,8 @@ def spmv_gf2(op: GF2Op, x_words, out_rows: int):
         return y ^ (mask & x_words[ck])
 
     from block_lanczos_tpu.ops.gfp import zeros_vma_like
-    y = zeros_vma_like(x_words, (out_pad, W))  # fori carry: x's vma type
+    # fori carry: join of x's and the slab leaves' vma
+    y = zeros_vma_like((x_words, op.valid), (out_pad, W))
     if op.ell <= _ELL_UNROLL:
         for k in range(op.ell):
             y = step(k, y, op.cols[:, k])

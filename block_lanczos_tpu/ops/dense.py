@@ -74,7 +74,7 @@ def gram_mod(f: GFp, V, W):
         Vc, Wc = vw
         return gfp.modadd(f, acc, chunk_gram(Vc, Wc)), None
 
-    acc0 = gfp.zeros_vma_like(V, (a, b))  # carry must match V's vma type
+    acc0 = gfp.zeros_vma_like((V, Wm), (a, b))  # joined vma carry
     acc, _ = jax.lax.scan(
         body, acc0,
         (V.reshape(nchunks, chunk, a), Wm.reshape(nchunks, chunk, b)))

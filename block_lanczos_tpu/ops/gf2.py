@@ -104,7 +104,7 @@ def matmul_gf2(X_words, B_words, n_in: int):
         return y
 
     from block_lanczos_tpu.ops.gfp import zeros_vma_like
-    y0 = zeros_vma_like(X_words, (N, Wout))  # fori carry: X's vma type
+    y0 = zeros_vma_like((X_words, B_words), (N, Wout))  # joined vma carry
     return jax.lax.fori_loop(0, n_in // WORD, word_step, y0)
 
 
@@ -175,7 +175,7 @@ def gram_gf2(X_words, Y_words, n_x: int):
         Xc, Yc = xy
         return acc ^ chunk_gram(Xc, Yc), None
 
-    acc0 = zeros_vma_like(X_words, (n_x, Wy))  # carry needs X's vma type
+    acc0 = zeros_vma_like((X_words, Y_words), (n_x, Wy))  # joined vma
     acc, _ = jax.lax.scan(
         body, acc0,
         (X_words.reshape(nchunks, chunk, -1),

@@ -128,7 +128,8 @@ def mullo32(a, b):
 
 
 def zeros_vma_like(ref, shape, dtype=u32):
-    """Zeros of `shape` carrying ref's varying-manual-axes type.
+    """Zeros of `shape` carrying the JOINED varying-manual-axes type of
+    `ref` (one array, or a tuple/list of arrays).
 
     A plain jnp.zeros carry is axis-INVARIANT under shard_map; if the loop
     body produces a varying value (anything derived from sharded operands),
@@ -137,8 +138,19 @@ def zeros_vma_like(ref, shape, dtype=u32):
     reach.  Deriving the zero from a varying operand (x & 0 broadcast) is
     a no-op numerically, folds away in XLA, and carries the right type in
     BOTH shard_map and plain-jit contexts.
+
+    Pass EVERY operand the loop body reads: a loop joining a vector (e.g.
+    varying only over "rows" — or over "cols" after a psum) with matrix
+    leaves (varying over BOTH mesh axes) produces the joined type, and a
+    carry seeded from the vector alone mismatches (round-4 regression:
+    the spill-scan SpMV crashed at >2^17-entry spill segments under the
+    mesh — tests/test_sharded.py pins every such path now).
     """
-    z = (ref[(0,) * ref.ndim] & ref.dtype.type(0)).astype(dtype)
+    refs = ref if isinstance(ref, (tuple, list)) else (ref,)
+    z = None
+    for r in refs:
+        t = (r[(0,) * r.ndim] & r.dtype.type(0)).astype(dtype)
+        z = t if z is None else z + t      # still zero; vma types join
     return jnp.zeros(shape, dtype) + z
 
 

@@ -250,7 +250,9 @@ def _spmv_scan(f: GFp, op: SparseOp, x, out_rows: int):
     chunks = (out_idx.reshape(nchunks, op.chunk),
               in_idx.reshape(nchunks, op.chunk),
               val_mont.reshape(nchunks, op.chunk))
-    y0 = gfp.zeros_vma_like(x, (out_rows, n))  # match x's vma type
+    # carry must join x's vma with the operator leaves' (the body reads
+    # val_mont, varying over BOTH mesh axes where x may not be)
+    y0 = gfp.zeros_vma_like((x, val_mont), (out_rows, n))
     y, _ = jax.lax.scan(body, y0, chunks)
     return y
 
@@ -551,7 +553,9 @@ def spmv_hybrid(f: GFp, op: HybridOp, x, out_rows: int | None = None):
     n = x.shape[1]
     out_pad = op.vals.shape[0]
 
-    y = gfp.zeros_vma_like(x, (out_pad, n))  # fori carries need x's vma type
+    # fori carries need the JOIN of x's and the slab leaves' vma (the
+    # slab walk reads op.vals/op.cols, varying over both mesh axes)
+    y = gfp.zeros_vma_like((x, op.vals), (out_pad, n))
     if op.dcols is not None:
         # delta encoding: reconstruct the column chain while streaming.
         # The running base is a single (out_pad,) int32 vector; empty slots

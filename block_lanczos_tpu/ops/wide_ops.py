@@ -68,7 +68,7 @@ def gram_mod(f: GFpWide, V, W):
         Vc, Wc = vw
         return gw.modadd(f, acc, chunk_gram(Vc, Wc)), None
 
-    acc0 = gfp.zeros_vma_like(V, (a, b, 2))  # carry needs V's vma type
+    acc0 = gfp.zeros_vma_like((V, Wm), (a, b, 2))  # joined vma carry
     acc, _ = jax.lax.scan(
         body, acc0,
         (V.reshape(nchunks, chunk, a, 2), Wm.reshape(nchunks, chunk, b, 2)))
@@ -347,7 +347,8 @@ def spmv_wide(f: GFpWide, op: WideHybridOp, x, out_rows: int | None = None):
                 else gw.modadd(f, acc, prod))
 
     tail = N_LIMBS if deferred else 2
-    acc = gfp.zeros_vma_like(x, (out_pad, n, tail))  # fori carry: x's vma
+    # fori carry: join of x's and the slab leaves' vma
+    acc = gfp.zeros_vma_like((x, op.vals), (out_pad, n, tail))
     if op.ell <= _ELL_UNROLL:
         for k in range(op.ell):
             prod = gw.mont_mul(f, op.vals[:, k][:, None, :], x[op.cols[:, k]])

@@ -108,6 +108,12 @@ class BandMap:
         return rm
 
 
+# exact (heapq) LPT above this many indices is several single-core seconds
+# per axis per direction; switch to the head-LPT + snake-tail deal
+_LPT_EXACT_MAX = 200_000
+_LPT_HEAD_PER_PART = 128
+
+
 def balanced_band_map(counts: np.ndarray, parts: int,
                       pad_multiple: int = 8) -> BandMap:
     """nnz-balanced BandMap over a dimension with per-index weights.
@@ -118,9 +124,17 @@ def balanced_band_map(counts: np.ndarray, parts: int,
     assigned to the currently-lightest band with free slots — the classic
     makespan greedy, within max(single index weight, ~mean) of optimal, so
     no shard holds a large multiple of the mean nnz and the per-shard
-    slab-width choices stay comparable.  O(dim log parts); runs only on
-    skewed matrices (a few seconds at multi-million-row dimensions,
-    one-time per matrix).
+    slab-width choices stay comparable.
+
+    Above _LPT_EXACT_MAX indices the per-index heapq loop costs several
+    single-core seconds per axis per direction (ADVICE r3), so the deal is
+    split: exact LPT on the heaviest 128*parts indices (where balance is
+    decided on power-law weights), then the near-uniform tail is
+    snake-dealt (serpentine over bins ordered lightest-first) — fully
+    vectorized, exactly ceil(tail/parts) tail indices per bin so the band
+    capacity holds by construction.  Falls back to the exact path if the
+    capacity check fails.  Deterministic (stable sorts), so every
+    multi-host process computes the identical map.
     """
     counts = np.asarray(counts, np.int64)
     dim = len(counts)
@@ -135,18 +149,13 @@ def balanced_band_map(counts: np.ndarray, parts: int,
     full_band_mean = total / dim * band
     if total == 0 or shard_nnz.max() <= _BALANCE_TOL * full_band_mean:
         return BandMap(dim, parts, band)
-    import heapq
     order = np.argsort(-counts, kind="stable")   # heavy indices first
-    heap = [(0, r) for r in range(parts)]
-    bin_count = np.zeros(parts, np.int64)
-    bin_of = np.empty(dim, np.int64)
-    clist = counts.tolist()
-    for g in order.tolist():
-        load, r = heapq.heappop(heap)
-        bin_of[g] = r
-        bin_count[r] += 1
-        if bin_count[r] < band:      # full bands leave the heap
-            heapq.heappush(heap, (load + clist[g], r))
+    if dim > _LPT_EXACT_MAX:
+        bin_of = _lpt_snake_deal(counts, order, parts, band)
+        if bin_of is None:                       # capacity check failed
+            bin_of = _lpt_exact_deal(counts, order, parts, band)
+    else:
+        bin_of = _lpt_exact_deal(counts, order, parts, band)
     # within each band, keep true indices ascending (stable local order)
     ord2 = np.lexsort((np.arange(dim), bin_of))
     sorted_bins = bin_of[ord2]
@@ -155,6 +164,57 @@ def balanced_band_map(counts: np.ndarray, parts: int,
     pos = np.empty(dim, np.int64)
     pos[ord2] = sorted_bins * band + local
     return BandMap(dim, parts, band, pos)
+
+
+def _lpt_exact_deal(counts, order, parts: int, band: int):
+    """Per-index capacity-capped LPT (heapq); O(dim log parts)."""
+    import heapq
+    heap = [(0, r) for r in range(parts)]
+    bin_count = np.zeros(parts, np.int64)
+    bin_of = np.empty(len(counts), np.int64)
+    clist = counts.tolist()
+    for g in order.tolist():
+        load, r = heapq.heappop(heap)
+        bin_of[g] = r
+        bin_count[r] += 1
+        if bin_count[r] < band:      # full bands leave the heap
+            heapq.heappush(heap, (load + clist[g], r))
+    return bin_of
+
+
+def _lpt_snake_deal(counts, order, parts: int, band: int):
+    """Exact LPT on the heavy head, vectorized snake deal of the tail.
+
+    Returns None when a bin would exceed the band capacity (pathological
+    head placement) — the caller falls back to the exact deal.
+    """
+    import heapq
+    dim = len(counts)
+    h = min(dim, _LPT_HEAD_PER_PART * parts)
+    bin_of = np.empty(dim, np.int64)
+    loads = np.zeros(parts, np.int64)
+    head_count = np.zeros(parts, np.int64)
+    heap = [(0, r) for r in range(parts)]
+    clist = counts[order[:h]].tolist()
+    for k, g in enumerate(order[:h].tolist()):
+        load, r = heapq.heappop(heap)
+        bin_of[g] = r
+        loads[r] = load + clist[k]
+        head_count[r] += 1
+        heapq.heappush(heap, (loads[r], r))
+    tail = order[h:]
+    if len(tail):
+        # serpentine over bins ordered lightest-first: row 2k deals the
+        # next `parts` heaviest tail indices lightest->heaviest bin, row
+        # 2k+1 reverses — each bin receives exactly one index per row
+        base = np.argsort(loads, kind="stable")
+        t_rows = -(-len(tail) // parts)
+        pattern = np.tile(np.concatenate([base, base[::-1]]),
+                          (t_rows + 1) // 2 + 1)[:t_rows * parts]
+        bin_of[tail] = pattern[:len(tail)]
+    if np.bincount(bin_of, minlength=parts).max() > band:
+        return None
+    return bin_of
 
 
 @dataclasses.dataclass

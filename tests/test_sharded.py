@@ -387,3 +387,98 @@ def test_build_dir_mixed_seg_safe_spill_padding(monkeypatch):
         np.add.at(ref, oi,
                   xv.astype(np.int64)[:, None] * x[ii].astype(np.int64) % p)
         np.testing.assert_array_equal(got, ref % p)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 vma-join regressions: loop carries seeded from the VECTOR operand
+# alone mismatch when the body also reads MATRIX leaves (varying over BOTH
+# mesh axes — the real solver passes them as sharded shard_map arguments,
+# unlike the closed-over constants in the unit tests above).  Each test
+# forces one such loop inside the FULL mesh solver and asserts bit-parity
+# with the single-device solve.  Crash shape that exposed it: a 260k-row
+# skewed CLI run whose spill had a >2^17-entry segment (scan fallback).
+# ---------------------------------------------------------------------------
+
+from block_lanczos_tpu.models.lanczos import BlockLanczos
+from block_lanczos_tpu.parallel.mesh import make_mesh_grid
+from block_lanczos_tpu.utils.mmio import COOMatrix
+
+
+def _skewed_coo(p, nrows=360, ncols=240, density=6, seed=13, alpha=1.4):
+    from block_lanczos_tpu.utils.gen import random_sparse_skewed
+    i, j, x = random_sparse_skewed(ncols, nrows, density, seed=seed,
+                                   alpha=alpha)
+    order = np.lexsort((i, j))
+    dtype = np.uint64 if p > (1 << 32) else np.uint32
+    return COOMatrix(nrows, ncols, len(x), j[order].astype(np.int32),
+                     i[order].astype(np.int32),
+                     (x[order] % p).astype(dtype), p)
+
+
+def test_solver_spill_scan_carry_under_mesh(monkeypatch):
+    """Force seg_safe=False + multi-chunk _spmv_scan inside the mesh solver
+    (carry must join x's vma with val_mont's)."""
+    from functools import partial as _partial
+
+    from block_lanczos_tpu.ops import gfp as gfp_mod
+    from block_lanczos_tpu.parallel import sharding as shard_lib
+
+    p = 65537
+    M = _skewed_coo(p)
+    ref = BlockLanczos(M, n=4, check_invariants=False).solve()
+    monkeypatch.setattr(gfp_mod, "LIMB_SUM_MAX", 16)  # chunk cap & seg cap
+    orig = shard_lib.partition_matrix
+    monkeypatch.setattr(shard_lib, "partition_matrix",
+                        _partial(orig, chunk=16))
+    got = ShardedBlockLanczos(M, n=4, mesh=make_mesh_grid(4, 2),
+                              check_invariants=False).solve()
+    assert not got.stopped_by_limit
+    np.testing.assert_array_equal(got.kernel, ref.kernel)
+    assert got.iterations == ref.iterations
+
+
+def test_solver_slab_fori_carry_under_mesh(monkeypatch):
+    """Force the (non-delta) slab fori walk inside the mesh solver."""
+    from block_lanczos_tpu.ops import spmm
+
+    p = 65537
+    M = _skewed_coo(p, seed=14)
+    monkeypatch.setattr(spmm, "_ELL_UNROLL", 1)
+    ref = BlockLanczos(M, n=4, check_invariants=False, delta=False).solve()
+    got = ShardedBlockLanczos(M, n=4, mesh=make_mesh_grid(4, 2),
+                              check_invariants=False).solve()
+    np.testing.assert_array_equal(got.kernel, ref.kernel)
+    assert got.iterations == ref.iterations
+
+
+def test_solver_gf2_slab_fori_carry_under_mesh(monkeypatch):
+    """Force the GF(2) slab fori walk inside the GF(2) mesh solver."""
+    from block_lanczos_tpu.models import lanczos_gf2 as lg
+    from block_lanczos_tpu.models.lanczos_gf2 import BlockLanczosGF2
+    from block_lanczos_tpu.parallel.distributed_gf2 import \
+        ShardedBlockLanczosGF2
+
+    M = _skewed_coo(2, seed=15)
+    monkeypatch.setattr(lg, "_ELL_UNROLL", 1)
+    ref = BlockLanczosGF2(M, n=32, check_invariants=False).solve()
+    got = ShardedBlockLanczosGF2(M, n=32, mesh=make_mesh_grid(4, 2),
+                                 check_invariants=False).solve()
+    np.testing.assert_array_equal(got.kernel, ref.kernel)
+    assert got.iterations == ref.iterations
+
+
+def test_solver_wide_slab_fori_carry_under_mesh(monkeypatch):
+    """Force the wide slab fori walk inside the wide mesh solver."""
+    from block_lanczos_tpu.models.lanczos_wide import BlockLanczosWide
+    from block_lanczos_tpu.ops import wide_ops
+    from block_lanczos_tpu.parallel.distributed_wide import \
+        ShardedBlockLanczosWide
+
+    p = (1 << 61) - 1
+    M = _skewed_coo(p, seed=16)
+    monkeypatch.setattr(wide_ops, "_ELL_UNROLL", 1)
+    ref = BlockLanczosWide(M, n=4, check_invariants=False).solve()
+    got = ShardedBlockLanczosWide(M, n=4, mesh=make_mesh_grid(4, 2),
+                                  check_invariants=False).solve()
+    np.testing.assert_array_equal(got.kernel, ref.kernel)
+    assert got.iterations == ref.iterations

@@ -221,3 +221,32 @@ def test_structured_instance_cli_end_to_end(tmp_path):
     with open(out, "rb") as f:
         got = f.read()
     assert got == ref
+
+
+def test_lpt_snake_deal_bounds_and_parity(monkeypatch):
+    """The vectorized head-LPT + snake-tail deal (used above _LPT_EXACT_MAX
+    indices) respects the band capacity, balances within the same bound as
+    the exact deal, and the solve stays bit-exact vs single-device
+    (results are layout-independent by construction)."""
+    from block_lanczos_tpu.parallel import sharding as sl
+
+    M = row_skewed_matrix(nrows=6000, ncols=4000, seed=3)
+    counts = np.bincount(M.i, minlength=M.nrows).astype(np.int64)
+
+    exact = sl.balanced_band_map(counts, 8)
+    monkeypatch.setattr(sl, "_LPT_EXACT_MAX", 100)  # force the snake path
+    snake = sl.balanced_band_map(counts, 8)
+    assert not snake.identity and snake.band == exact.band
+
+    for m in (exact, snake):
+        shard, _ = m.shard_local(np.arange(M.nrows))
+        per_bin = np.bincount(shard, minlength=8)
+        assert per_bin.max() <= m.band              # capacity
+        w = np.bincount(shard, weights=counts, minlength=8)
+        assert w.max() <= 2.0 * w.mean()            # balance bound
+
+    ref = BlockLanczos(M, n=4, check_invariants=False).solve()
+    got = ShardedBlockLanczos(M, n=4, mesh=make_mesh(8),
+                              check_invariants=False).solve()
+    np.testing.assert_array_equal(got.kernel, ref.kernel)
+    assert got.iterations == ref.iterations
