@@ -139,72 +139,10 @@ def partition_matrix_gf2(M: COOMatrix, right: bool, mesh: jax.sharding.Mesh,
     _announce_local_build(local, R, C)
 
     def build_dir(parts, out_dim) -> _GF2StackedDir:
-        from block_lanczos_tpu.ops.spmm import choose_ell_width_multi
-        counts_list = [np.bincount(oi, minlength=out_dim) if len(oi)
-                       else np.zeros(out_dim, np.int64)
-                       for (oi, _ii) in parts]
-        ell = choose_ell_width_multi(counts_list)
-        if local is not None:
-            # Shard-local multi-host build: GF(2) spills are exact from the
-            # count model (first ell entries of every row go to the slab,
-            # the rest spill — no evictions, no seg-safety constraint), so
-            # every process agrees on the padded shapes without building
-            # non-local blocks.
-            spill_pad = max(max(int(np.maximum(c - ell, 0).sum())
-                                for c in counts_list), 1)
-            built = {}
-            for k, (oi, ii) in enumerate(parts):
-                r, c = divmod(k, C)
-                if (r, c) not in local:
-                    continue
-                arrs = lg.build_gf2_arrays(oi, ii, out_dim, ell=ell,
-                                           spill_pad_to=spill_pad)
-                cols2d, valid, (s_o, s_i, _n, s_rp), _nnz, _e = arrs
-                assert s_o.shape[0] == spill_pad, (s_o.shape, spill_pad)
-                built[(r, c)] = (cols2d, valid, s_o, s_i, s_rp)
-            vwords = (ell + WORD - 1) // WORD
-            return _GF2StackedDir(
-                ell=ell,
-                cols=_lazy_stack(built, R, C, nnz_sharding, 0,
-                                 (out_dim, ell), np.int32),
-                valid=_lazy_stack(built, R, C, nnz_sharding, 1,
-                                  (out_dim, vwords), np.uint32),
-                spill_out=_lazy_stack(built, R, C, nnz_sharding, 2,
-                                      (spill_pad,), np.int32),
-                spill_in=_lazy_stack(built, R, C, nnz_sharding, 3,
-                                     (spill_pad,), np.int32),
-                spill_rowptr=_lazy_stack(built, R, C, nnz_sharding, 4,
-                                         (out_dim + 1,), np.int32))
-        built, spill_pad = [], 1
-        for (oi, ii) in parts:
-            arrs = lg.build_gf2_arrays(oi, ii, out_dim, ell=ell)
-            built.append(arrs)
-            spill_pad = max(spill_pad, arrs[2][0].shape[0])
-        cols_l, val_l, so_l, si_l, srp_l = [], [], [], [], []
-        for arrs, (oi, ii) in zip(built, parts):
-            if arrs[2][0].shape[0] != spill_pad:
-                arrs = lg.build_gf2_arrays(oi, ii, out_dim, ell=ell,
-                                           spill_pad_to=spill_pad)
-            cols2d, valid, (s_o, s_i, _n, s_rp), _nnz, _e = arrs
-            cols_l.append(cols2d); val_l.append(valid)
-            so_l.append(s_o); si_l.append(s_i); srp_l.append(s_rp)
-
-        def stack(xs):
-            arr = np.stack(xs)
-            arr = arr.reshape((R, C) + arr.shape[1:])
-            return put_global(arr, nnz_sharding)
-
-        return _GF2StackedDir(ell=ell, cols=stack(cols_l),
-                              valid=stack(val_l), spill_out=stack(so_l),
-                              spill_in=stack(si_l), spill_rowptr=stack(srp_l))
+        return _build_gf2_dir(parts, out_dim, R, C, nnz_sharding, local)
 
     first = build_dir(first_parts, mband)
     second = build_dir(second_parts, band)
-
-    def dstats(d):
-        return DirStats(ell=d.ell,
-                        slab_slots=int(np.prod(d.cols.shape[:4])),
-                        spill_slots=int(np.prod(d.spill_out.shape)))
 
     return GF2ShardedOps(
         grid=(R, C), band=band, mband=mband,
@@ -214,7 +152,76 @@ def partition_matrix_gf2(M: COOMatrix, right: bool, mesh: jax.sharding.Mesh,
         stats=PartitionStats(grid=(R, C), shard_nnz=shard_nnz,
                              row_balanced=not row_map.identity,
                              col_balanced=not col_map.identity,
-                             first=dstats(first), second=dstats(second)))
+                             first=_gf2_dstats(first),
+                             second=_gf2_dstats(second)))
+
+
+def _gf2_dstats(d: _GF2StackedDir) -> DirStats:
+    return DirStats(ell=d.ell,
+                    slab_slots=int(np.prod(d.cols.shape[:4])),
+                    spill_slots=int(np.prod(d.spill_out.shape)))
+
+
+def _build_gf2_dir(parts, out_dim: int, R: int, C: int, nnz_sharding,
+                   local) -> _GF2StackedDir:
+    from block_lanczos_tpu.ops.spmm import choose_ell_width_multi
+    counts_list = [np.bincount(oi, minlength=out_dim) if len(oi)
+                   else np.zeros(out_dim, np.int64)
+                   for (oi, _ii) in parts]
+    ell = choose_ell_width_multi(counts_list)
+    if local is not None:
+        # Shard-local multi-host build: GF(2) spills are exact from the
+        # count model (first ell entries of every row go to the slab,
+        # the rest spill — no evictions, no seg-safety constraint), so
+        # every process agrees on the padded shapes without building
+        # non-local blocks.
+        spill_pad = max(max(int(np.maximum(c - ell, 0).sum())
+                            for c in counts_list), 1)
+        built = {}
+        for k, (oi, ii) in enumerate(parts):
+            r, c = divmod(k, C)
+            if (r, c) not in local:
+                continue
+            arrs = lg.build_gf2_arrays(oi, ii, out_dim, ell=ell,
+                                       spill_pad_to=spill_pad)
+            cols2d, valid, (s_o, s_i, _n, s_rp), _nnz, _e = arrs
+            assert s_o.shape[0] == spill_pad, (s_o.shape, spill_pad)
+            built[(r, c)] = (cols2d, valid, s_o, s_i, s_rp)
+        vwords = (ell + WORD - 1) // WORD
+        return _GF2StackedDir(
+            ell=ell,
+            cols=_lazy_stack(built, R, C, nnz_sharding, 0,
+                             (out_dim, ell), np.int32),
+            valid=_lazy_stack(built, R, C, nnz_sharding, 1,
+                              (out_dim, vwords), np.uint32),
+            spill_out=_lazy_stack(built, R, C, nnz_sharding, 2,
+                                  (spill_pad,), np.int32),
+            spill_in=_lazy_stack(built, R, C, nnz_sharding, 3,
+                                 (spill_pad,), np.int32),
+            spill_rowptr=_lazy_stack(built, R, C, nnz_sharding, 4,
+                                     (out_dim + 1,), np.int32))
+    built, spill_pad = [], 1
+    for (oi, ii) in parts:
+        arrs = lg.build_gf2_arrays(oi, ii, out_dim, ell=ell)
+        built.append(arrs)
+        spill_pad = max(spill_pad, arrs[2][0].shape[0])
+    cols_l, val_l, so_l, si_l, srp_l = [], [], [], [], []
+    for arrs, (oi, ii) in zip(built, parts):
+        if arrs[2][0].shape[0] != spill_pad:
+            arrs = lg.build_gf2_arrays(oi, ii, out_dim, ell=ell,
+                                       spill_pad_to=spill_pad)
+        cols2d, valid, (s_o, s_i, _n, s_rp), _nnz, _e = arrs
+        cols_l.append(cols2d); val_l.append(valid)
+        so_l.append(s_o); si_l.append(s_i); srp_l.append(s_rp)
+
+    def stack(xs):
+        arr = np.stack(xs)
+        arr = arr.reshape((R, C) + arr.shape[1:])
+        return put_global(arr, nnz_sharding)
+
+    return _GF2StackedDir(ell=ell, cols=stack(cols_l),
+                          valid=stack(val_l), spill_out=stack(so_l),
+                          spill_in=stack(si_l), spill_rowptr=stack(srp_l))
 
 
 def _local_step(ops: GF2ShardedOps, n: int, check: bool,
@@ -257,6 +264,146 @@ def _local_multi_step(ops: GF2ShardedOps, n: int, check: bool,
         zeros, v_local, p_local, max_steps)
 
 
+@dataclasses.dataclass
+class GF2OverlapShardedOps:
+    """GF2ShardedOps variant with each SpMV direction split into two row
+    chunks so chunk A's pxor is independent of chunk B's local compute
+    (XLA's async collective scheduler interleaves them on real meshes) —
+    the GF(2) twin of sharding.OverlapShardedOps.  Bit-exact with the
+    unchunked layout by construction."""
+    grid: tuple
+    band: int
+    mband: int
+    np_rows: int
+    mp_rows: int
+    n_eff: int
+    m_eff: int
+    ha: int            # first-direction split row (out dim = mband)
+    hb: int            # second-direction split row (out dim = band)
+    first_a: _GF2StackedDir
+    first_b: _GF2StackedDir
+    second_a: _GF2StackedDir
+    second_b: _GF2StackedDir
+    row_map: BandMap | None = None
+    col_map: BandMap | None = None
+    stats: PartitionStats | None = None
+
+    def _local(self, d: _GF2StackedDir, out_dim: int, in_dim: int,
+               leaves) -> lg.GF2Op:
+        return GF2ShardedOps._local(self, d, out_dim, in_dim, leaves)
+
+    def leaves(self):
+        return (self.first_a.leaves(), self.first_b.leaves(),
+                self.second_a.leaves(), self.second_b.leaves())
+
+
+def partition_matrix_overlap_gf2(M: COOMatrix, right: bool,
+                                 mesh: jax.sharding.Mesh,
+                                 pad_multiple: int = 8
+                                 ) -> GF2OverlapShardedOps:
+    """2D GF(2) partition with each direction's output rows split in half
+    (mirrors sharding.partition_matrix_overlap for the narrow field)."""
+    R = mesh.shape[ROWS_AXIS]
+    C = mesh.shape[COLS_AXIS]
+    odd = (np.asarray(M.x) & 1) == 1
+    mi, mj = M.i[odd], M.j[odd]
+    n_eff, m_eff, key, other, row_map, col_map = _grid_maps(
+        mi, mj, M.nrows, M.ncols, right, R, C, pad_multiple)
+    band, mband = row_map.band, col_map.band
+    ha = (mband // 2 // pad_multiple) * pad_multiple
+    hb = (band // 2 // pad_multiple) * pad_multiple
+    if not (0 < ha < mband and 0 < hb < band):
+        raise ValueError(
+            "matrix bands too small to chunk for comm/compute overlap; "
+            "use the default ShardedBlockLanczosGF2")
+
+    (first3, _second3), shard_nnz = _grid_parts(key, other, None,
+                                                row_map, col_map)
+    fa, fb, sa, sb = [], [], [], []
+    for (lo, lk, _x) in first3:
+        m_lo = lo < ha
+        fa.append((lo[m_lo], lk[m_lo]))
+        fb.append(((lo[~m_lo] - ha).astype(np.int32), lk[~m_lo]))
+        m_lk = lk < hb
+        sa.append((lk[m_lk], lo[m_lk]))
+        sb.append(((lk[~m_lk] - hb).astype(np.int32), lo[~m_lk]))
+
+    nnz_sharding = NamedSharding(mesh, P(ROWS_AXIS, COLS_AXIS))
+    local = _addressable_parts(mesh)
+    _announce_local_build(local, R, C)
+    dirs = [_build_gf2_dir(p_, od, R, C, nnz_sharding, local)
+            for p_, od in ((fa, ha), (fb, mband - ha),
+                           (sa, hb), (sb, band - hb))]
+    fs = _gf2_dstats(dirs[0]), _gf2_dstats(dirs[1])
+    ss = _gf2_dstats(dirs[2]), _gf2_dstats(dirs[3])
+    return GF2OverlapShardedOps(
+        grid=(R, C), band=band, mband=mband,
+        np_rows=band * R, mp_rows=mband * C, n_eff=n_eff, m_eff=m_eff,
+        ha=ha, hb=hb,
+        first_a=dirs[0], first_b=dirs[1], second_a=dirs[2], second_b=dirs[3],
+        row_map=row_map, col_map=col_map,
+        stats=PartitionStats(
+            grid=(R, C), shard_nnz=shard_nnz,
+            row_balanced=not row_map.identity,
+            col_balanced=not col_map.identity,
+            first=DirStats(ell=(fs[0].ell, fs[1].ell),
+                           slab_slots=fs[0].slab_slots + fs[1].slab_slots,
+                           spill_slots=fs[0].spill_slots + fs[1].spill_slots),
+            second=DirStats(ell=(ss[0].ell, ss[1].ell),
+                            slab_slots=ss[0].slab_slots + ss[1].slab_slots,
+                            spill_slots=ss[0].spill_slots
+                            + ss[1].spill_slots)))
+
+
+def _local_step_overlap(ops: GF2OverlapShardedOps, n: int, check: bool,
+                        fa, fb, sa, sb, v_local, p_local):
+    first_a = ops._local(ops.first_a, ops.ha, ops.band, fa)
+    first_b = ops._local(ops.first_b, ops.mband - ops.ha, ops.band, fb)
+    second_a = ops._local(ops.second_a, ops.hb, ops.mband, sa)
+    second_b = ops._local(ops.second_b, ops.band - ops.hb, ops.mband, sb)
+
+    tmp = jnp.concatenate([
+        pxor(lg.spmv_gf2(first_a, v_local, out_rows=ops.ha), ROWS_AXIS),
+        pxor(lg.spmv_gf2(first_b, v_local, out_rows=ops.mband - ops.ha),
+             ROWS_AXIS),
+    ], axis=0)
+    Av_local = jnp.concatenate([
+        pxor(lg.spmv_gf2(second_a, tmp, out_rows=ops.hb), COLS_AXIS),
+        pxor(lg.spmv_gf2(second_b, tmp, out_rows=ops.band - ops.hb),
+             COLS_AXIS),
+    ], axis=0)
+
+    grams = pxor(gf2.gram_gf2(
+        jnp.concatenate([v_local, Av_local], axis=1), Av_local, 2 * n),
+        ROWS_AXIS)
+    vtAv, vtAAv = grams[:n], grams[n:]
+
+    winv, d, npiv = gf2.semi_inverse_gf2(vtAv, n)
+    stop = npiv == 0
+    inv_ok = (lg.check_invariants_gf2(vtAv, vtAAv, winv, d, n)
+              if check else jnp.bool_(True))
+
+    v_next, p_next = lg.orthogonalize_gf2(
+        v_local, Av_local, p_local, d, vtAv, vtAAv, winv, n)
+    v_out = jnp.where(stop, v_local, v_next)
+    p_out = jnp.where(stop, p_local, p_next)
+    return v_out, p_out, tmp, vtAv, vtAAv, winv, d, stop, inv_ok
+
+
+def _local_multi_step_overlap(ops: GF2OverlapShardedOps, n: int, check: bool,
+                              fa, fb, sa, sb, v_local, p_local, max_steps):
+    from block_lanczos_tpu.models.lanczos import run_multi_step
+    W = words(n)
+    zed = jnp.zeros((n, W), u32)
+    tmp0 = jax.lax.pcast(jnp.zeros((ops.mband, W), u32), (COLS_AXIS,),
+                         to="varying")
+    zeros = (tmp0, zed, zed, zed, jnp.zeros((n,), u32))
+    return run_multi_step(
+        lambda v, p: _local_step_overlap(ops, n, check, fa, fb, sa, sb,
+                                         v, p),
+        zeros, v_local, p_local, max_steps)
+
+
 class ShardedBlockLanczosGF2:
     """Multi-device bitsliced GF(2) solver; API mirrors ShardedBlockLanczos."""
 
@@ -264,7 +411,8 @@ class ShardedBlockLanczosGF2:
                  mesh: jax.sharding.Mesh | None = None,
                  pad_multiple: int = 8, check_invariants: bool = True,
                  sync_every: int | None = None,
-                 ops: GF2ShardedOps | None = None):
+                 ops: GF2ShardedOps | GF2OverlapShardedOps | None = None,
+                 overlap: bool = False):
         from block_lanczos_tpu.parallel.mesh import make_mesh
         if int(M.prime) != 2 or n % WORD != 0:
             raise ValueError("GF(2) sharded solver requires p == 2 and n % 32 == 0")
@@ -276,8 +424,13 @@ class ShardedBlockLanczosGF2:
         # the partitioned operator is independent of the blocking n — callers
         # sweeping n (bench.py at the 51M-nnz scale, where the host-side
         # build is ~25 min on this 1-core host) build once and pass it in
-        self.ops = ops if ops is not None else partition_matrix_gf2(
-            M, right, self.mesh, pad_multiple=pad_multiple)
+        if ops is None:
+            ops = (partition_matrix_overlap_gf2(
+                       M, right, self.mesh, pad_multiple=pad_multiple)
+                   if overlap else partition_matrix_gf2(
+                       M, right, self.mesh, pad_multiple=pad_multiple))
+        self.ops = ops
+        self.overlap = isinstance(self.ops, GF2OverlapShardedOps)
         self.n_eff = self.ops.n_eff
         self.m_eff = self.ops.m_eff
         self.np_rows = self.ops.np_rows
@@ -292,16 +445,24 @@ class ShardedBlockLanczosGF2:
         v_spec = P(ROWS_AXIS, None)
         tmp_spec = P(COLS_AXIS, None)
         rep2 = P(None, None)
-        n_leaves = len(self.ops.first.leaves())
-        mbody = partial(_local_multi_step, self.ops, self.n,
-                        check_invariants)
+        if self.overlap:
+            groups = self.ops.leaves()
+            in_specs = tuple((nnz_spec,) * len(g) for g in groups)
+            mbody = partial(_local_multi_step_overlap, self.ops, self.n,
+                            check_invariants)
+            donate = (4, 5)
+        else:
+            in_specs = ((nnz_spec,) * len(self.ops.first.leaves()),
+                        (nnz_spec,) * len(self.ops.second.leaves()))
+            mbody = partial(_local_multi_step, self.ops, self.n,
+                            check_invariants)
+            donate = (2, 3)
         msmapped = jax.shard_map(
             mbody, mesh=self.mesh,
-            in_specs=((nnz_spec,) * n_leaves, (nnz_spec,) * n_leaves,
-                      v_spec, v_spec, P()),
+            in_specs=(*in_specs, v_spec, v_spec, P()),
             out_specs=(v_spec, v_spec, tmp_spec, rep2, rep2, rep2,
                        P(None), P(), P(), P()))
-        self._multi_step = jax.jit(msmapped, donate_argnums=(2, 3))
+        self._multi_step = jax.jit(msmapped, donate_argnums=donate)
 
     def initial_block(self):
         bits = self._rng.fill_mod(self.n_eff * self.n, 2)
@@ -310,6 +471,8 @@ class ShardedBlockLanczosGF2:
         return put_global(gf2.pack_bits_np(block), self._vec_sharding)
 
     def _step_args(self):
+        if self.overlap:
+            return self.ops.leaves()
         return (self.ops.first.leaves(), self.ops.second.leaves())
 
     def solve(self, stop_after: int = -1, verbose: bool = False,
@@ -337,7 +500,8 @@ class ShardedBlockLanczosGF2:
             n_iterations = int(resume_state["iteration"])
         if verbose:
             R, C = self.ops.grid
-            print(f"Block Lanczos [GF(2) bitsliced, sharded {R}x{C}]")
+            mode = " overlap" if self.overlap else ""
+            print(f"Block Lanczos [GF(2) bitsliced, sharded {R}x{C}{mode}]")
             if self.ops.stats is not None:
                 print(self.ops.stats.summary())
             print(f"  - Expecting {self.expected_iterations} iterations")

@@ -61,8 +61,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--no-checks", action="store_true",
                     help="disable per-iteration invariant checks")
     ap.add_argument("--overlap", action="store_true",
-                    help="chunk each SpMV so exact psums overlap local "
-                         "compute (narrow-field mesh solver only)")
+                    help="chunk each SpMV so exact reductions overlap local "
+                         "compute (mesh solvers, all three fields)")
     ap.add_argument("--salvage", action="store_true",
                     help="on a failed final check, extract the verified "
                          "kernel combinations from the partial block "
@@ -191,7 +191,7 @@ def main(argv=None) -> int:
             solver = ShardedBlockLanczosWide(
                 M, n=args.n, right=right, mesh=mesh,
                 check_invariants=not args.no_checks,
-                sync_every=args.sync_every)
+                sync_every=args.sync_every, overlap=args.overlap)
     elif args.prime == 2 and args.n % 32 == 0:
         # the factorization case: bitsliced GF(2), 32 elements per word
         if is_root:
@@ -212,7 +212,7 @@ def main(argv=None) -> int:
             solver = ShardedBlockLanczosGF2(
                 M, n=args.n, right=right, mesh=mesh,
                 check_invariants=not args.no_checks,
-                sync_every=args.sync_every)
+                sync_every=args.sync_every, overlap=args.overlap)
     elif args.single:
         from block_lanczos_tpu.models.lanczos import BlockLanczos
         solver = BlockLanczos(M, n=args.n, right=right,

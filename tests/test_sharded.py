@@ -482,3 +482,66 @@ def test_solver_wide_slab_fori_carry_under_mesh(monkeypatch):
                                   check_invariants=False).solve()
     np.testing.assert_array_equal(got.kernel, ref.kernel)
     assert got.iterations == ref.iterations
+
+
+# ---------------------------------------------------------------------------
+# Round 4: comm/compute overlap for the GF(2) and wide fields (previously
+# narrow-only; SURVEY §2 parallelism strategy 7)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("grid", [(8, 1), (2, 4)])
+def test_gf2_overlap_bit_exact(grid):
+    from block_lanczos_tpu.models.lanczos_gf2 import BlockLanczosGF2
+    from block_lanczos_tpu.parallel.distributed_gf2 import \
+        ShardedBlockLanczosGF2
+    GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+    M = mmio.load_mtx(os.path.join(GOLDEN, "left_p2_n32.mtx"), 2)
+    ref = BlockLanczosGF2(M, n=32).solve()
+    got = ShardedBlockLanczosGF2(M, n=32, mesh=make_mesh_grid(*grid),
+                                 overlap=True).solve()
+    np.testing.assert_array_equal(got.kernel, ref.kernel)
+    assert got.iterations == ref.iterations
+
+
+@pytest.mark.parametrize("grid", [(8, 1), (2, 4)])
+def test_wide_overlap_bit_exact(grid):
+    from block_lanczos_tpu.models.lanczos_wide import BlockLanczosWide
+    from block_lanczos_tpu.parallel.distributed_wide import \
+        ShardedBlockLanczosWide
+    GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+    p = (1 << 61) - 1
+    M = mmio.load_mtx(os.path.join(GOLDEN, "left_pbig_n4.mtx"), p)
+    ref = BlockLanczosWide(M, n=4).solve()
+    got = ShardedBlockLanczosWide(M, n=4, mesh=make_mesh_grid(*grid),
+                                  overlap=True).solve()
+    np.testing.assert_array_equal(got.kernel, ref.kernel)
+    assert got.iterations == ref.iterations
+
+
+def test_cli_overlap_routes_all_fields(tmp_path):
+    """--overlap reaches the overlap mesh solver in every field; outputs
+    byte-identical to the non-overlap runs."""
+    from block_lanczos_tpu.utils import cli
+    GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+    for mtx, prime, n, golden in [
+            ("left_p65537_n4.mtx", "65537", "4", "left_p65537_n4.kernel.mtx"),
+            ("left_p2_n32.mtx", "2", "32", "left_p2_n32.kernel.mtx")]:
+        out = str(tmp_path / f"k_{prime}.mtx")
+        rc = cli.main(["--matrix", os.path.join(GOLDEN, mtx),
+                       "--prime", prime, "--n", n, "--devices", "8",
+                       "--overlap", "--output-file", out, "--no-checks"])
+        assert rc == 0
+        with open(out, "rb") as fh, \
+                open(os.path.join(GOLDEN, golden), "rb") as fg:
+            assert fh.read() == fg.read()
+    # wide: self-parity (no reference golden possible above its cap)
+    p = str((1 << 61) - 1)
+    out_o = str(tmp_path / "k_wide_o.mtx")
+    out_p = str(tmp_path / "k_wide_p.mtx")
+    for out, extra in [(out_o, ["--overlap"]), (out_p, [])]:
+        rc = cli.main(["--matrix", os.path.join(GOLDEN, "left_pbig_n4.mtx"),
+                       "--prime", p, "--n", "4", "--devices", "8",
+                       "--output-file", out, "--no-checks"] + extra)
+        assert rc == 0
+    with open(out_o, "rb") as fa, open(out_p, "rb") as fb:
+        assert fa.read() == fb.read()
