@@ -214,13 +214,29 @@ class CheckpointManager:
         # collectives even with per-iteration callbacks (sync_every=1).
         self._next_check_iter = 0
         self._iter_mark = None  # (iteration, time) of the last rate sample
+        # preemption support: a signal handler calls request_save() and the
+        # next callback persists the state (see cli.main's SIGTERM handler)
+        self.save_requested = False
+
+    def request_save(self):
+        """Ask for a save at the next opportunity (signal-handler-safe:
+        only sets a flag).  Single-process: the next callback saves
+        immediately.  Multi-process: honored at the next iteration-
+        deterministic due-check (a rank-local bypass would desync the
+        collective save), and only the ROOT's request counts — cluster
+        preemptions deliver SIGTERM everywhere, so this is the common
+        case anyway."""
+        self.save_requested = True
 
     def maybe_save(self, iteration: int, v, p_blk, start_time: float,
                    extra_time: float = 0.0):
-        if iteration < self._next_check_iter:
+        import jax
+        multi = jax.process_count() > 1
+        if iteration < self._next_check_iter and not (
+                self.save_requested and not multi):
             return False
         now = time.time()
-        due = now - self._last >= self.interval_s
+        due = (now - self._last >= self.interval_s) or self.save_requested
         # root's iteration-rate estimate -> next due-check target (approach
         # the deadline geometrically: at most ~log2 checks per interval)
         rate = None
@@ -239,8 +255,7 @@ class CheckpointManager:
         # shards, then a barrier), and the NEXT check target gates whether
         # processes enter this function's collective at all — both must be
         # identical everywhere, so take the root's verdict for both.
-        import jax
-        if jax.process_count() > 1:
+        if multi:
             from jax.experimental import multihost_utils
             out = multihost_utils.broadcast_one_to_all(
                 np.asarray([int(due), int(nxt)], np.int64))
@@ -253,4 +268,5 @@ class CheckpointManager:
                                (now - start_time) + extra_time, self.meta,
                                self.verbose, rowmap=self.rowmap)
         self.saves += 1
+        self.save_requested = False
         return True

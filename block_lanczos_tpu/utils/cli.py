@@ -241,6 +241,27 @@ def main(argv=None) -> int:
             meta=run_meta, verbose=True,
             rowmap=None if row_map is None else row_map.rowmap())
 
+    # Preemption-safe exit: SIGTERM/SIGINT request a checkpoint; the next
+    # callback persists {v, p, iteration} and the run exits 128+signum so a
+    # rescheduled job resumes with --load-checkpoint.  A second signal
+    # before the save lands falls back to the default (immediate) action.
+    # The reference has no preemption story — its timer checkpoint loses up
+    # to interval_s of work on kill (mpi/lanczos_modp.c:1781-1790).
+    preempt = {"signum": None}
+    if manager is not None:
+        import signal
+
+        def _on_signal(signum, frame):
+            preempt["signum"] = signum
+            manager.request_save()
+            signal.signal(signum, signal.SIG_DFL)
+
+        for _sig in (signal.SIGTERM, signal.SIGINT):
+            signal.signal(_sig, _on_signal)
+
+    class _PreemptionSaved(Exception):
+        pass
+
     def on_iteration(slv, iteration, v, p_blk, start):
         # iteration == 0 happens when the very first probe converges (the
         # stopping iteration is uncounted): nothing to report, but the
@@ -249,11 +270,21 @@ def main(argv=None) -> int:
         if is_root and iteration > 0:
             verb.tick(start)
         if manager is not None:  # collective in multi-process mode
-            manager.maybe_save(iteration, v, p_blk, start,
-                               extra_time=extra_time)
+            saved = manager.maybe_save(iteration, v, p_blk, start,
+                                       extra_time=extra_time)
+            if saved and preempt["signum"] is not None:
+                raise _PreemptionSaved
 
-    res = solver.solve(stop_after=args.stop_after, verbose=is_root,
-                       on_iteration=on_iteration, resume_state=resume_state)
+    try:
+        res = solver.solve(stop_after=args.stop_after, verbose=is_root,
+                           on_iteration=on_iteration,
+                           resume_state=resume_state)
+    except _PreemptionSaved:
+        if is_root:
+            print(f"\nReceived signal {preempt['signum']}; state "
+                  f"checkpointed to {args.checkpoint_dir} — resume with "
+                  "--load-checkpoint", file=sys.stderr)
+        return 128 + int(preempt["signum"])
     if is_root:
         print()
     kernel, n_cols = res.kernel, args.n

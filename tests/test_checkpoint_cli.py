@@ -215,3 +215,74 @@ def test_cli_sharded_field_routing(tmp_path):
     rc = cli.main(["--matrix", mtx, "--prime", "2", "--n", "32",
                    "--grid", "2", "4", "--stop-after", "3", "--no-checks"])
     assert rc == 0
+
+
+def test_manager_request_save_bypasses_schedule(tmp_path):
+    """request_save (the SIGTERM path) saves at the next callback even when
+    neither the timer nor the iteration due-check would fire."""
+    v = np.zeros((8, 2), np.uint32)
+    mgr = ckpt.CheckpointManager(str(tmp_path / "ck"), interval_s=3600.0)
+    assert mgr.maybe_save(1, v, v, 0.0) is False
+    assert mgr.maybe_save(2, v, v, 0.0) is False   # sets a far next-check
+    mgr.request_save()
+    assert mgr.maybe_save(3, v, v, 0.0) is True    # bypasses both gates
+    assert mgr.save_requested is False             # consumed
+    state = ckpt.load_checkpoint(str(tmp_path / "ck"))
+    assert state["iteration"] == 3
+    assert mgr.maybe_save(4, v, v, 0.0) is False   # schedule resumes
+
+
+def test_cli_sigterm_checkpoints_and_resumes(tmp_path):
+    """SIGTERM mid-solve: the CLI saves a checkpoint, exits 128+15, and a
+    --load-checkpoint rerun completes with the correct kernel (validated by
+    the independent checker)."""
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    from block_lanczos_tpu.utils import checker
+    from block_lanczos_tpu.utils.gen import write_random_mtx
+
+    mtx = str(tmp_path / "m.mtx")
+    write_random_mtx(mtx, 2000, 1500, 8, seed=7)
+    ckdir = str(tmp_path / "ck")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    # interval 3600 -> only the signal can trigger the save; sync-every 1
+    # gives per-iteration callbacks so the save lands within one iteration
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "block_lanczos_tpu.utils.cli",
+         "--matrix", mtx, "--prime", "65537", "--n", "4", "--single",
+         "--sync-every", "1", "--checkpoint", "3600",
+         "--checkpoint-dir", ckdir,
+         "--output-file", str(tmp_path / "k.mtx"), "--no-checks"],
+        cwd=repo, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True)
+    # give startup + compile a head start, then signal mid-loop (the
+    # 2000x1500 solve runs ~375 iterations with per-iteration host syncs,
+    # leaving a wide window; if the solve still finishes first, skip)
+    for _ in range(8):
+        _time.sleep(0.5)
+        if proc.poll() is not None:
+            break
+    if proc.poll() is None:
+        proc.send_signal(signal.SIGTERM)
+    out, _ = proc.communicate(timeout=300)
+    if proc.returncode == 0:
+        pytest.skip("solve finished before the signal landed")
+    assert proc.returncode == 128 + 15, out[-800:]
+    assert "checkpointed" in out
+    state = ckpt.load_checkpoint(ckdir)
+    assert state["iteration"] > 0
+    # resume to completion; kernel must validate
+    out_file = str(tmp_path / "k2.mtx")
+    r = subprocess.run(
+        [sys.executable, "-m", "block_lanczos_tpu.utils.cli",
+         "--matrix", mtx, "--prime", "65537", "--n", "4", "--single",
+         "--load-checkpoint", "--checkpoint-dir", ckdir,
+         "--output-file", out_file, "--no-checks"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stdout[-500:] + r.stderr[-500:]
+    assert checker.check_kernel_file(mtx, out_file, 65537) is True
