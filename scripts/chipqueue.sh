@@ -31,6 +31,12 @@ BLANCZOS_BENCH_TIMEOUT=7200 timeout 7500 python bench.py \
     > /tmp/bench_r04_queue.log 2>&1
 log "headline bench done rc=$?"
 
+# 0b) refresh the committed truth CSV from the fresh result (refuses
+#     flagged cached republications); the round-end driver commit picks
+#     the CSV change up
+python scripts/update_tpu_truth.py >> /tmp/chipqueue.log 2>&1
+log "tpu_truth refresh rc=$?"
+
 # 1) wide-field ablation on chip (bench config) — feeds PERF.md attribution
 log "ablation start"
 timeout 2400 python benchmarks/ablate_wide.py --iters 20 \

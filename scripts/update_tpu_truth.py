@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Refresh the committed single-chip truth CSV from the last FRESH bench run.
+
+Reads /tmp/blanczos_bench/last_result.json (written by bench.py's inner
+run) and rewrites benchmarks/results/tpu_truth_r04.csv so the committed
+truth rows track the code as currently shipped (VERDICT r3 stretch #8).
+Refuses to publish a result flagged `cached` — stale republications stay
+out of the committed record.
+
+Run by scripts/chipqueue.sh right after the headline bench; the round-end
+driver commit picks the CSV up.
+"""
+
+import csv
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LAST = "/tmp/blanczos_bench/last_result.json"
+OUT = os.path.join(REPO, "benchmarks", "results", "tpu_truth_r04.csv")
+
+
+def main() -> int:
+    try:
+        with open(LAST) as fh:
+            res = json.load(fh)
+    except (OSError, ValueError) as e:
+        print(f"no bench result to publish: {e}", file=sys.stderr)
+        return 1
+    if res.get("cached"):
+        print("last bench result is a flagged cached republication "
+              f"({res.get('cache_reason')!r}); refusing to publish",
+              file=sys.stderr)
+        return 1
+    d = res["detail"]
+
+    def row(config, ours, ref):
+        vs = round(ref / ours, 3) if (ref and ours) else None
+        return (config, ours, ref if ref else None, vs)
+
+    rows = [
+        row("narrow p=1073741789 n=4", d["our_s_per_iteration"],
+            d["reference_seq_s_per_iteration"]),
+        row("narrow p=1073741789 n=32", d["n32_s_per_iteration"],
+            d["n32_reference_s_per_iteration"]),
+        row("gf2 p=2 n=128 (bitsliced)", d["gf2_n128_s_per_iteration"],
+            d["gf2_n128_reference_s_per_iteration"]),
+        row("gf2 p=2 n=256 (bitsliced)", d["gf2_n256_s_per_iteration"],
+            None),
+        row("wide p=2^61-1 n=4 (ref cannot run)",
+            d["wide_p61_s_per_iteration"], None),
+    ]
+    for key, label in ((128, "gf2 51M-nnz n=128 (3M x 2M)"),
+                       (256, "gf2 51M-nnz n=256 (3M x 2M)")):
+        v = d.get(f"gf2_51m_n{key}_s_per_iteration")
+        if v is not None:
+            rows.append(row(label, v, None))
+
+    with open(OUT, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["config", "ours_s_per_iteration",
+                    "reference_seq_s_per_iteration",
+                    "vs_reference_same_config"])
+        w.writerows(rows)
+    print(f"wrote {OUT}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
