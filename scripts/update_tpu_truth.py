@@ -33,6 +33,16 @@ def main() -> int:
               f"({res.get('cache_reason')!r}); refusing to publish",
               file=sys.stderr)
         return 1
+    # last_result.json holds the last REAL measurement — which may be from
+    # a previous round if the bench has been falling back since.  Only
+    # publish a result written moments ago (the queue runs this right
+    # after bench.py).
+    import time
+    age_s = time.time() - os.path.getmtime(LAST)
+    if age_s > 3 * 3600:
+        print(f"last bench result is {age_s / 3600:.1f} h old — not from "
+              "this queue run; refusing to publish", file=sys.stderr)
+        return 1
     d = res["detail"]
 
     def row(config, ours, ref):
