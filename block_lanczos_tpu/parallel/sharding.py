@@ -193,14 +193,12 @@ def _lpt_snake_deal(counts, order, parts: int, band: int):
     h = min(dim, _LPT_HEAD_PER_PART * parts)
     bin_of = np.empty(dim, np.int64)
     loads = np.zeros(parts, np.int64)
-    head_count = np.zeros(parts, np.int64)
     heap = [(0, r) for r in range(parts)]
     clist = counts[order[:h]].tolist()
     for k, g in enumerate(order[:h].tolist()):
         load, r = heapq.heappop(heap)
         bin_of[g] = r
         loads[r] = load + clist[k]
-        head_count[r] += 1
         heapq.heappush(heap, (loads[r], r))
     tail = order[h:]
     if len(tail):
