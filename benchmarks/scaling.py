@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--n", type=int, default=4)
     ap.add_argument("--prime", type=int, default=1073741789)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--overlap", action="store_true",
+                    help="comm/compute overlap mode (all three fields)")
     ap.add_argument("--skewed", action="store_true",
                     help="power-law row weights (factorization-shaped "
                          "instance) instead of uniform")
@@ -90,7 +92,7 @@ def main():
     base = None
     for k in sizes:
         solver = Solver(M, n=args.n, mesh=make_mesh(k),
-                        check_invariants=False)
+                        check_invariants=False, overlap=args.overlap)
         v = solver.initial_block()
         p_blk = jax.device_put(np.zeros_like(np.asarray(v)),
                                solver._vec_sharding)
