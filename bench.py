@@ -298,9 +298,32 @@ def _cached_fallback(reason: str) -> bool:
     return True
 
 
+def _acquire_chip_lock(budget_s: int = 2700):
+    """Serialize chip users: the detached measurement queue
+    (scripts/chipqueue.sh) wraps its non-bench chip items in this flock,
+    and the queue's own bench.py run holds it here — so a driver-invoked
+    bench waits for the in-flight item instead of sharing the single chip
+    (contended timings are garbage).  Proceeds anyway after `budget_s`."""
+    import fcntl
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    fh = open(os.path.join(CACHE_DIR, "chip.lock"), "w")
+    t0 = time.perf_counter()
+    while True:
+        try:
+            fcntl.flock(fh, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            return fh
+        except OSError:
+            if time.perf_counter() - t0 > budget_s:
+                print("chip lock still busy; proceeding (timings may be "
+                      "contended)", file=sys.stderr)
+                return fh
+            time.sleep(15)
+
+
 def _watchdog_main() -> int:
     """Run the real bench in a child with a hard wall-clock bound; on
     timeout/crash fall back to the flagged cached result."""
+    _lock = _acquire_chip_lock()  # held (open) for the watchdog's lifetime
     env = dict(os.environ)
     env["BLANCZOS_BENCH_INNER"] = "1"
     budget = int(os.environ.get("BLANCZOS_BENCH_TIMEOUT", "5400"))

@@ -37,15 +37,20 @@ log "headline bench done rc=$?"
 python scripts/update_tpu_truth.py >> /tmp/chipqueue.log 2>&1
 log "tpu_truth refresh rc=$?"
 
+# Items 1-3 hold the shared chip lock (bench.py's watchdog waits on it),
+# so a driver-invoked round-end bench never shares the chip with them.
+# Item 0's bench.py takes the lock itself — wrapping it here would deadlock.
+CHIPLOCK=/tmp/blanczos_bench/chip.lock
+
 # 1) wide-field ablation on chip (bench config) — feeds PERF.md attribution
 log "ablation start"
-timeout 2400 python benchmarks/ablate_wide.py --iters 20 \
+timeout 2400 flock $CHIPLOCK python benchmarks/ablate_wide.py --iters 20 \
     > /tmp/ablate_wide_chip.log 2>&1
 log "ablation done rc=$?"
 
 # 2) wide solver per-iteration re-measure (deferred walk) at bench config
 log "wide remeasure start"
-timeout 2400 python -u - > /tmp/wide_remeasure.log 2>&1 <<'EOF'
+timeout 2400 flock $CHIPLOCK python -u - > /tmp/wide_remeasure.log 2>&1 <<'EOF'
 import time, numpy as np, jax.numpy as jnp
 from block_lanczos_tpu.utils.mmio import load_mtx, COOMatrix
 from block_lanczos_tpu.models.lanczos_wide import BlockLanczosWide
@@ -64,12 +69,12 @@ log "wide remeasure done rc=$?"
 
 # 3) structured skewed instance end-to-end: CLI solve + independent checker
 log "structured start"
-timeout 7200 python -m block_lanczos_tpu.utils.cli \
+timeout 7200 flock $CHIPLOCK python -m block_lanczos_tpu.utils.cli \
     --matrix /tmp/blanczos_bench/skew1Mx750k.mtx --prime 2 --n 128 \
     --output-file /tmp/blanczos_bench/skew1Mx750k_kernel.mtx --no-checks --salvage \
     > /tmp/structured_solve.log 2>&1
 log "structured solve done rc=$?"
-timeout 1200 python -m block_lanczos_tpu.utils.checker \
+timeout 1200 flock $CHIPLOCK python -m block_lanczos_tpu.utils.checker \
     --matrix /tmp/blanczos_bench/skew1Mx750k.mtx \
     --kernel /tmp/blanczos_bench/skew1Mx750k_kernel.mtx --prime 2 \
     >> /tmp/structured_solve.log 2>&1
