@@ -323,3 +323,31 @@ def test_two_process_wide_checkpoint_resume(tmp_path):
     with open(ref_out, "rb") as f:
         ref = f.read()
     assert got == ref
+
+
+def test_local_build_overlap_gf2_and_wide_matches_replicated(monkeypatch):
+    """Shard-local builds under the round-4 GF(2)/wide OVERLAP partitioners
+    are bit-identical to the replicated builds (the narrow overlap variant
+    is covered above)."""
+    from block_lanczos_tpu.parallel import sharding as shard_lib
+    from block_lanczos_tpu.parallel.distributed_gf2 import \
+        ShardedBlockLanczosGF2
+    from block_lanczos_tpu.parallel.distributed_wide import \
+        ShardedBlockLanczosWide
+    from block_lanczos_tpu.parallel.mesh import make_mesh_grid
+
+    M2 = mmio.load_mtx(os.path.join(GOLDEN, "left_p2_n32.mtx"), 2)
+    Mw = mmio.load_mtx(os.path.join(GOLDEN, "left_pbig_n4.mtx"), WIDE_P)
+    ref2 = ShardedBlockLanczosGF2(M2, n=32, mesh=make_mesh_grid(4, 2),
+                                  overlap=True).solve()
+    refw = ShardedBlockLanczosWide(Mw, n=4, mesh=make_mesh_grid(4, 2),
+                                   overlap=True).solve()
+    monkeypatch.setattr(
+        shard_lib, "_addressable_parts",
+        lambda mesh: {(r, c) for r in range(4) for c in range(2)})
+    got2 = ShardedBlockLanczosGF2(M2, n=32, mesh=make_mesh_grid(4, 2),
+                                  overlap=True).solve()
+    gotw = ShardedBlockLanczosWide(Mw, n=4, mesh=make_mesh_grid(4, 2),
+                                   overlap=True).solve()
+    np.testing.assert_array_equal(got2.kernel, ref2.kernel)
+    np.testing.assert_array_equal(gotw.kernel, refw.kernel)
