@@ -248,7 +248,8 @@ class BlockLanczosGF2:
 
     def __init__(self, M: COOMatrix, n: int = 32, right: bool = False,
                  pad_multiple: int = 8, check_invariants: bool = True,
-                 seed=None, sync_every: int | None = None):
+                 seed=None, sync_every: int | None = None,
+                 dedup: bool = True):
         if int(M.prime) != 2:
             raise ValueError("BlockLanczosGF2 requires p == 2")
         if n % WORD != 0:
@@ -259,13 +260,23 @@ class BlockLanczosGF2:
         self.check_invariants = check_invariants
         odd = (np.asarray(M.x) & 1) == 1
         i, j = M.i[odd], M.j[odd]
-        self.nnz = int(odd.sum())
-        self.n_eff = M.ncols if right else M.nrows
-        self.m_eff = M.nrows if right else M.ncols
+        # m_eff-side dedup: duplicate lines cancel out of A = M M^T over
+        # GF(2) and break structured instances (see gf2.dedup_lines);
+        # dedup=False keeps bit-parity with the generic p=2 solver on
+        # duplicate-line instances (it is a no-op on distinct-line ones)
+        if dedup:
+            i, j, nrows_eff, ncols_eff, n_dup, n_empty = gf2.dedup_lines(
+                i, j, M.nrows, M.ncols, right)
+        else:
+            nrows_eff, ncols_eff, n_dup, n_empty = (M.nrows, M.ncols, 0, 0)
+        self.dedup_dropped = (n_dup, n_empty)
+        self.nnz = len(i)
+        self.n_eff = ncols_eff if right else nrows_eff
+        self.m_eff = nrows_eff if right else ncols_eff
         self.np_rows = pad_rows(self.n_eff, pad_multiple)
         self.mp_rows = pad_rows(self.m_eff, pad_multiple)
-        fwd = make_gf2_op(i, j, M.nrows, M.ncols)
-        bwd = make_gf2_op(j, i, M.ncols, M.nrows)
+        fwd = make_gf2_op(i, j, nrows_eff, ncols_eff)
+        bwd = make_gf2_op(j, i, ncols_eff, nrows_eff)
         self.first_op = fwd if right else bwd
         self.second_op = bwd if right else fwd
         self.expected_iterations = 1 + self.m_eff // self.n
@@ -307,6 +318,10 @@ class BlockLanczosGF2:
             n_iterations = int(resume_state["iteration"])
         if verbose:
             print("Block Lanczos [GF(2) bitsliced]")
+            if any(self.dedup_dropped):
+                nd, ne = self.dedup_dropped
+                print(f"  - GF(2) dedup: dropped {nd} duplicate + {ne} "
+                      "empty lines (operator rank restoration)")
             print(f"  - Expecting {self.expected_iterations} iterations")
             print("  - Main loop")
 

@@ -277,3 +277,70 @@ def semi_inverse_gf2(U_words, n: int):
     eye = eye ^ (U_words ^ U_words)   # inherit U's vma (shard_map)
     _, winv, d, npiv = eliminate(M2, eye)
     return winv, d, npiv
+
+
+# ---------------------------------------------------------------------------
+# Structured-instance preprocessing: m_eff-side dedup
+# ---------------------------------------------------------------------------
+
+def dedup_lines(i: np.ndarray, j: np.ndarray, nrows: int, ncols: int,
+                right: bool):
+    """Drop empty and duplicate m_eff-side lines from the GF(2) operator
+    (columns for the left-kernel solve, rows for the right).
+
+    Over GF(2) the Lanczos operator is A = sum_c c c^T over the m_eff-side
+    lines c: a line appearing an EVEN number of times cancels out of A
+    entirely, so duplicate-heavy structured instances (power-law relation
+    matrices) silently shrink rank(A) below rank(M) and strand the terminal
+    candidates in the large ker(M) /\\ im(M^T) obstruction space — the solve
+    then ends with v != 0 but v^T M != 0 and nothing to salvage.  Keeping
+    exactly ONE representative per distinct nonzero line is exact for the
+    kernel (x^T M == 0 iff x is orthogonal to every distinct line) and
+    restores rank(A) ~= rank(M), after which the standard combination
+    (utils/salvage.py) recovers the residual few columns.  NFS pipelines
+    apply the same filtering before Lanczos for the same reason.  The
+    mod-p fields keep duplicates (no cancellation there; reference parity:
+    sequential/lanczos_modp.c keeps the matrix verbatim).
+
+    Lines are grouped by two independent 64-bit hash signatures plus the
+    line weight; a false merge needs a 128-bit collision (~2^-128 per
+    pair), and any such failure is caught downstream by the final check /
+    independent checker.  Deterministic (fixed hash seed), so every host
+    of a multi-process run computes the same filtered operator.
+
+    Returns (i, j, nrows_eff, ncols_eff, n_dup, n_empty) with the deduped
+    side compacted in ascending original order (banding preserved); exact
+    passthrough (same arrays) when nothing is dropped.
+    """
+    lines = j if not right else i          # the m_eff side
+    other = i if not right else j
+    dim = ncols if not right else nrows
+    odim = nrows if not right else ncols
+    if len(lines) == 0:
+        return i, j, nrows, ncols, 0, dim
+    rng = np.random.default_rng(0xB10C)
+    h1 = rng.integers(1, 1 << 63, size=odim, dtype=np.int64).astype(np.uint64)
+    h2 = rng.integers(1, 1 << 63, size=odim, dtype=np.int64).astype(np.uint64)
+    order = np.argsort(lines, kind="stable")
+    ls = lines[order]
+    starts = np.flatnonzero(np.r_[True, ls[1:] != ls[:-1]])
+    xor_sig = np.bitwise_xor.reduceat(h1[other[order]], starts)
+    add_sig = np.add.reduceat(h2[other[order]], starts)   # u64 wrap is fine
+    cnt = np.diff(np.r_[starts, len(ls)]).astype(np.uint64)
+    line_ids = ls[starts]
+    sig = np.stack([xor_sig, add_sig, cnt], axis=1)
+    _, first = np.unique(sig, axis=0, return_index=True)
+    keep_ids = np.sort(line_ids[first])
+    n_empty = dim - len(line_ids)
+    n_dup = len(line_ids) - len(keep_ids)
+    if len(keep_ids) == dim:               # nothing to drop: exact passthrough
+        return i, j, nrows, ncols, 0, 0
+    lut = np.full(dim, -1, np.int64)
+    lut[keep_ids] = np.arange(len(keep_ids))
+    m = lut[lines] >= 0
+    new_lines = lut[lines[m]].astype(lines.dtype)
+    new_other = other[m]
+    dim_eff = len(keep_ids)
+    if right:
+        return new_lines, new_other, dim_eff, ncols, n_dup, n_empty
+    return new_other, new_lines, nrows, dim_eff, n_dup, n_empty

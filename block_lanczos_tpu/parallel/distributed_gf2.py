@@ -119,14 +119,22 @@ class GF2ShardedOps:
 
 
 def partition_matrix_gf2(M: COOMatrix, right: bool, mesh: jax.sharding.Mesh,
-                         pad_multiple: int = 8) -> GF2ShardedOps:
+                         pad_multiple: int = 8,
+                         dedup: bool = True) -> GF2ShardedOps:
     R = mesh.shape[ROWS_AXIS]
     C = mesh.shape[COLS_AXIS]
     odd = (np.asarray(M.x) & 1) == 1
     mi, mj = M.i[odd], M.j[odd]
-    # balance on the surviving (odd) entries only — they ARE the operator
+    # m_eff-side dedup, then balance on the surviving entries only — they
+    # ARE the operator (duplicates cancel out of A over GF(2); see
+    # ops/gf2.py::dedup_lines)
+    if dedup:
+        mi, mj, nrows_eff, ncols_eff, _nd, _ne = gf2.dedup_lines(
+            mi, mj, M.nrows, M.ncols, right)
+    else:
+        nrows_eff, ncols_eff = M.nrows, M.ncols
     n_eff, m_eff, key, other, row_map, col_map = _grid_maps(
-        mi, mj, M.nrows, M.ncols, right, R, C, pad_multiple)
+        mi, mj, nrows_eff, ncols_eff, right, R, C, pad_multiple)
     band, mband = row_map.band, col_map.band
 
     (first3, second3), shard_nnz = _grid_parts(key, other, None,
@@ -299,7 +307,8 @@ class GF2OverlapShardedOps:
 
 def partition_matrix_overlap_gf2(M: COOMatrix, right: bool,
                                  mesh: jax.sharding.Mesh,
-                                 pad_multiple: int = 8
+                                 pad_multiple: int = 8,
+                                 dedup: bool = True
                                  ) -> GF2OverlapShardedOps:
     """2D GF(2) partition with each direction's output rows split in half
     (mirrors sharding.partition_matrix_overlap for the narrow field)."""
@@ -307,8 +316,13 @@ def partition_matrix_overlap_gf2(M: COOMatrix, right: bool,
     C = mesh.shape[COLS_AXIS]
     odd = (np.asarray(M.x) & 1) == 1
     mi, mj = M.i[odd], M.j[odd]
+    if dedup:
+        mi, mj, nrows_eff, ncols_eff, _nd, _ne = gf2.dedup_lines(
+            mi, mj, M.nrows, M.ncols, right)
+    else:
+        nrows_eff, ncols_eff = M.nrows, M.ncols
     n_eff, m_eff, key, other, row_map, col_map = _grid_maps(
-        mi, mj, M.nrows, M.ncols, right, R, C, pad_multiple)
+        mi, mj, nrows_eff, ncols_eff, right, R, C, pad_multiple)
     band, mband = row_map.band, col_map.band
     ha = (mband // 2 // pad_multiple) * pad_multiple
     hb = (band // 2 // pad_multiple) * pad_multiple
@@ -412,7 +426,7 @@ class ShardedBlockLanczosGF2:
                  pad_multiple: int = 8, check_invariants: bool = True,
                  sync_every: int | None = None,
                  ops: GF2ShardedOps | GF2OverlapShardedOps | None = None,
-                 overlap: bool = False):
+                 overlap: bool = False, dedup: bool = True):
         from block_lanczos_tpu.parallel.mesh import make_mesh
         if int(M.prime) != 2 or n % WORD != 0:
             raise ValueError("GF(2) sharded solver requires p == 2 and n % 32 == 0")
@@ -426,9 +440,11 @@ class ShardedBlockLanczosGF2:
         # build is ~25 min on this 1-core host) build once and pass it in
         if ops is None:
             ops = (partition_matrix_overlap_gf2(
-                       M, right, self.mesh, pad_multiple=pad_multiple)
+                       M, right, self.mesh, pad_multiple=pad_multiple,
+                       dedup=dedup)
                    if overlap else partition_matrix_gf2(
-                       M, right, self.mesh, pad_multiple=pad_multiple))
+                       M, right, self.mesh, pad_multiple=pad_multiple,
+                       dedup=dedup))
         self.ops = ops
         self.overlap = isinstance(self.ops, GF2OverlapShardedOps)
         self.n_eff = self.ops.n_eff

@@ -67,9 +67,17 @@ print(f"wide p61 n=4 deferred-walk: {per:.4f} s/iter (round-2: 0.1465)")
 EOF
 log "wide remeasure done rc=$?"
 
-# 3) structured skewed instance end-to-end: CLI solve + independent checker
+# 3) structured skewed instance end-to-end: CLI solve + independent checker.
+#    /tmp is volatile on this host — regenerate the instance if missing
+#    (CPU-only numpy; no jax touch, so force the cpu backend).
+if [ ! -f /tmp/blanczos_bench/skew1Mx750k.mtx ]; then
+  log "structured matrix regen start"
+  JAX_PLATFORMS=cpu timeout 1800 python benchmarks/gen_structured.py \
+      > /tmp/gen_structured.log 2>&1
+  log "structured matrix regen done rc=$?"
+fi
 log "structured start"
-timeout 7200 flock $CHIPLOCK python -m block_lanczos_tpu.utils.cli \
+timeout 3600 flock $CHIPLOCK python -m block_lanczos_tpu.utils.cli \
     --matrix /tmp/blanczos_bench/skew1Mx750k.mtx --prime 2 --n 128 \
     --output-file /tmp/blanczos_bench/skew1Mx750k_kernel.mtx --no-checks --salvage \
     > /tmp/structured_solve.log 2>&1

@@ -320,6 +320,9 @@ def test_gf2_fuzz_vs_generic(seed):
                        j.astype(np.int32), (x % 2).astype(np.uint32), 2)
     rg = BlockLanczos(M, n=32, right=right,
                       check_invariants=False).solve(stop_after=7)
-    rb = BlockLanczosGF2(M, n=32, right=right,
+    # dedup=False: the generic solver keeps duplicate/empty lines, so
+    # bit-parity needs the preprocessing off (fuzz shapes at low density
+    # regularly have duplicate columns)
+    rb = BlockLanczosGF2(M, n=32, right=right, dedup=False,
                          check_invariants=False).solve(stop_after=7)
     np.testing.assert_array_equal(rb.kernel, rg.kernel.astype(np.uint32))
