@@ -308,16 +308,27 @@ def dedup_lines(i: np.ndarray, j: np.ndarray, nrows: int, ncols: int,
     independent checker.  Deterministic (fixed hash seed), so every host
     of a multi-process run computes the same filtered operator.
 
+    Contract: compaction happens ONLY when duplicate lines exist.  Empty
+    lines contribute nothing to A (c c^T = 0) and impose trivially
+    satisfied constraints, so on duplicate-free instances — including
+    instances whose only degeneracy is empty lines, and the all-empty
+    operator — dedup is an exact passthrough (same arrays, reports
+    (0, 0)) and the iterate stream stays bit-identical to the reference.
+    When duplicates ARE dropped the stream already diverges, so empty
+    lines are compacted away in the same pass (tighter iteration
+    estimate, smaller final check).
+
     Returns (i, j, nrows_eff, ncols_eff, n_dup, n_empty) with the deduped
-    side compacted in ascending original order (banding preserved); exact
-    passthrough (same arrays) when nothing is dropped.
+    side compacted in ascending original order (banding preserved);
+    n_dup/n_empty report what was actually dropped.
     """
     lines = j if not right else i          # the m_eff side
     other = i if not right else j
     dim = ncols if not right else nrows
     odim = nrows if not right else ncols
     if len(lines) == 0:
-        return i, j, nrows, ncols, 0, dim
+        # all-empty operator: nothing cancels, exact passthrough
+        return i, j, nrows, ncols, 0, 0
     rng = np.random.default_rng(0xB10C)
     h1 = rng.integers(1, 1 << 63, size=odim, dtype=np.int64).astype(np.uint64)
     h2 = rng.integers(1, 1 << 63, size=odim, dtype=np.int64).astype(np.uint64)
@@ -333,7 +344,7 @@ def dedup_lines(i: np.ndarray, j: np.ndarray, nrows: int, ncols: int,
     keep_ids = np.sort(line_ids[first])
     n_empty = dim - len(line_ids)
     n_dup = len(line_ids) - len(keep_ids)
-    if len(keep_ids) == dim:               # nothing to drop: exact passthrough
+    if n_dup == 0:                         # duplicate-free: exact passthrough
         return i, j, nrows, ncols, 0, 0
     lut = np.full(dim, -1, np.int64)
     lut[keep_ids] = np.arange(len(keep_ids))

@@ -173,8 +173,11 @@ class CheckpointMismatch(ValueError):
 # is established by (nrows, ncols, nnz) rather than the path string, so moving
 # the matrix file does not invalidate a checkpoint.  The reference blindly
 # trusts whatever is on disk (mpi/lanczos_modp.c:1678-1686) — we refuse instead
-# of silently producing garbage.
-VALIDATED_KEYS = ("prime", "n", "right", "field", "nrows", "ncols", "nnz")
+# of silently producing garbage.  m_eff fingerprints the EFFECTIVE operator:
+# it differs at equal (nrows, ncols, nnz) exactly when the GF(2) dedup
+# setting changed between write and resume (ops/gf2.py::dedup_lines).
+VALIDATED_KEYS = ("prime", "n", "right", "field", "nrows", "ncols", "nnz",
+                  "m_eff")
 
 
 def validate_meta(state: dict, expected: dict):

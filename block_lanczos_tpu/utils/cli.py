@@ -67,6 +67,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="on a failed final check, extract the verified "
                          "kernel combinations from the partial block "
                          "(the reference just reports KO)")
+    ap.add_argument("--no-dedup", action="store_true",
+                    help="GF(2) only: keep duplicate/empty operator lines "
+                         "verbatim like the reference (default: drop "
+                         "duplicates to restore rank(A) on structured "
+                         "instances; a no-op on duplicate-free matrices)")
     ap.add_argument("--sync-every", type=int, default=None, metavar="K",
                     help="iterations per host sync (device-side loop size); "
                          "default: adaptive doubling up to 1024. Use 1 for "
@@ -201,7 +206,8 @@ def main(argv=None) -> int:
             from block_lanczos_tpu.models.lanczos_gf2 import BlockLanczosGF2
             solver = BlockLanczosGF2(M, n=args.n, right=right,
                                      check_invariants=not args.no_checks,
-                                     sync_every=args.sync_every)
+                                     sync_every=args.sync_every,
+                                     dedup=not args.no_dedup)
         else:
             from block_lanczos_tpu.parallel import make_mesh
             from block_lanczos_tpu.parallel.distributed_gf2 import \
@@ -212,7 +218,8 @@ def main(argv=None) -> int:
             solver = ShardedBlockLanczosGF2(
                 M, n=args.n, right=right, mesh=mesh,
                 check_invariants=not args.no_checks,
-                sync_every=args.sync_every, overlap=args.overlap)
+                sync_every=args.sync_every, overlap=args.overlap,
+                dedup=not args.no_dedup)
     elif args.single:
         from block_lanczos_tpu.models.lanczos import BlockLanczos
         solver = BlockLanczos(M, n=args.n, right=right,
@@ -230,6 +237,23 @@ def main(argv=None) -> int:
                                      check_invariants=not args.no_checks,
                                      sync_every=args.sync_every,
                                      overlap=args.overlap)
+
+    # The operator dimension m_eff depends on the GF(2) dedup setting, so a
+    # checkpoint written under a different --no-dedup choice would continue
+    # the recurrence under a DIFFERENT operator — refuse early rather than
+    # waste a chip run on vectors the final check will reject.
+    run_meta["m_eff"] = int(solver.m_eff)
+    if resume_state is not None:
+        try:
+            ckpt.validate_meta(resume_state, run_meta)
+        except ckpt.CheckpointMismatch as e:
+            print(e, file=sys.stderr)
+            if field == "gf2":
+                print("  (an m_eff mismatch at equal nrows/ncols/nnz means "
+                      "the checkpoint was written under a different GF(2) "
+                      "dedup setting; rerun with the matching --no-dedup "
+                      "choice)", file=sys.stderr)
+            return 1
 
     verb = VerbosityEngine(solver.expected_iterations, extra_time=extra_time)
     verb.n_iterations = resume_state["iteration"] if resume_state else 0

@@ -1,11 +1,13 @@
 #!/usr/bin/env python
 """Refresh the committed single-chip truth CSV from the last FRESH bench run.
 
-Reads /tmp/blanczos_bench/last_result.json (written by bench.py's inner
-run) and rewrites benchmarks/results/tpu_truth_r04.csv so the committed
-truth rows track the code as currently shipped (VERDICT r3 stretch #8).
-Refuses to publish a result flagged `cached` — stale republications stay
-out of the committed record.
+Reads benchmarks/results/cache/last_result.json (written incrementally by
+bench.py's inner run) and rewrites benchmarks/results/tpu_truth_r05.csv so
+the committed truth rows track the code as currently shipped (VERDICT r3
+stretch #8, VERDICT r4 #2).  Refuses to publish a result flagged `cached`
+— stale republications stay out of the committed record.  A `partial`
+result publishes whatever rows completed (each row is a real fresh
+measurement; the partial flag only means later stages didn't run).
 
 Run by scripts/chipqueue.sh right after the headline bench; the round-end
 driver commit picks the CSV up.
@@ -17,8 +19,9 @@ import os
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-LAST = "/tmp/blanczos_bench/last_result.json"
-OUT = os.path.join(REPO, "benchmarks", "results", "tpu_truth_r04.csv")
+LAST = os.path.join(REPO, "benchmarks", "results", "cache",
+                    "last_result.json")
+OUT = os.path.join(REPO, "benchmarks", "results", "tpu_truth_r05.csv")
 
 
 def main() -> int:
@@ -50,22 +53,29 @@ def main() -> int:
         return (config, ours, ref if ref else None, vs)
 
     rows = [
-        row("narrow p=1073741789 n=4", d["our_s_per_iteration"],
-            d["reference_seq_s_per_iteration"]),
-        row("narrow p=1073741789 n=32", d["n32_s_per_iteration"],
-            d["n32_reference_s_per_iteration"]),
-        row("gf2 p=2 n=128 (bitsliced)", d["gf2_n128_s_per_iteration"],
-            d["gf2_n128_reference_s_per_iteration"]),
-        row("gf2 p=2 n=256 (bitsliced)", d["gf2_n256_s_per_iteration"],
-            None),
-        row("wide p=2^61-1 n=4 (ref cannot run)",
-            d["wide_p61_s_per_iteration"], None),
+        row(config, ours, ref)
+        for config, ours, ref in (
+            ("narrow p=1073741789 n=4", d.get("our_s_per_iteration"),
+             d.get("reference_seq_s_per_iteration")),
+            ("narrow p=1073741789 n=32", d.get("n32_s_per_iteration"),
+             d.get("n32_reference_s_per_iteration")),
+            ("gf2 p=2 n=128 (bitsliced)", d.get("gf2_n128_s_per_iteration"),
+             d.get("gf2_n128_reference_s_per_iteration")),
+            ("gf2 p=2 n=256 (bitsliced)", d.get("gf2_n256_s_per_iteration"),
+             None),
+            ("wide p=2^61-1 n=4 (ref cannot run)",
+             d.get("wide_p61_s_per_iteration"), None),
+            ("gf2 51M-nnz n=128 (3M x 2M)",
+             d.get("gf2_51m_n128_s_per_iteration"), None),
+            ("gf2 51M-nnz n=256 (3M x 2M)",
+             d.get("gf2_51m_n256_s_per_iteration"), None),
+        )
+        if ours is not None
     ]
-    for key, label in ((128, "gf2 51M-nnz n=128 (3M x 2M)"),
-                       (256, "gf2 51M-nnz n=256 (3M x 2M)")):
-        v = d.get(f"gf2_51m_n{key}_s_per_iteration")
-        if v is not None:
-            rows.append(row(label, v, None))
+    if not rows:
+        print("no completed rows in the last result; nothing to publish",
+              file=sys.stderr)
+        return 1
 
     with open(OUT, "w", newline="") as fh:
         w = csv.writer(fh)
@@ -73,7 +83,7 @@ def main() -> int:
                     "reference_seq_s_per_iteration",
                     "vs_reference_same_config"])
         w.writerows(rows)
-    print(f"wrote {OUT}")
+    print(f"wrote {OUT}" + (" (partial)" if res.get("partial") else ""))
     return 0
 
 

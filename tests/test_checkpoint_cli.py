@@ -149,6 +149,35 @@ def test_cli_checkpoint_meta_mismatch(tmp_path, capsys):
     assert "cannot load checkpoint" in capsys.readouterr().err
 
 
+def test_cli_checkpoint_dedup_mismatch(tmp_path, capsys):
+    """A GF(2) checkpoint written under one dedup setting is refused on
+    resume under the other: m_eff fingerprints the effective operator, so
+    continuing the recurrence under a different A is caught BEFORE any
+    compute is wasted (round-4 advisor finding)."""
+    from block_lanczos_tpu.utils import mmio as mm
+    from block_lanczos_tpu.utils.gen import random_sparse
+
+    # seed-9 64x96: has duplicate rows, so dedup changes m_eff (right=True)
+    i, j, x = random_sparse(64, 96, 5, seed=9)
+    mtx = str(tmp_path / "dup.mtx")
+    mm.write_coo_mtx(mtx, 64, 96, i, j, x)
+    ckdir = str(tmp_path / "ck")
+    base = ["--matrix", mtx, "--prime", "2", "--n", "32", "--right",
+            "--single", "--no-checks", "--checkpoint-dir", ckdir]
+    rc = cli.main([*base, "--stop-after", "1", "--checkpoint", "0",
+                   "--sync-every", "1"])
+    assert rc == 0
+    capsys.readouterr()
+    # resume under the OTHER dedup setting -> refused with the hint
+    rc = cli.main([*base, "--load-checkpoint", "--stop-after", "2",
+                   "--no-dedup"])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "m_eff: checkpoint has" in err and "--no-dedup" in err
+    # matching setting resumes fine
+    assert cli.main([*base, "--load-checkpoint", "--stop-after", "2"]) == 0
+
+
 def test_validate_meta_ignores_unknown_and_legacy():
     """Manifests from older versions (no field/shape keys) still resume."""
     ckpt.validate_meta({"iteration": 3, "prime": 65537},

@@ -326,3 +326,49 @@ def test_gf2_fuzz_vs_generic(seed):
     rb = BlockLanczosGF2(M, n=32, right=right, dedup=False,
                          check_invariants=False).solve(stop_after=7)
     np.testing.assert_array_equal(rb.kernel, rg.kernel.astype(np.uint32))
+
+
+# ---------------------------------------------------------------------------
+# dedup_lines contract (ops/gf2.py): compaction ONLY when duplicates exist
+# ---------------------------------------------------------------------------
+
+def test_dedup_passthrough_empty_lines_only():
+    """Instances whose only degeneracy is empty m_eff-side lines are an
+    exact passthrough: no compaction, (0, 0) reported, and the solver
+    stream stays bit-identical to the generic p=2 path (reference keeps
+    the matrix verbatim, sequential/lanczos_modp.c:199-263)."""
+    # columns 0..5 distinct nonzero patterns, columns 6..9 empty, no dups
+    i = np.array([0, 1, 2, 3, 0, 4, 1, 5, 2, 6], np.int32)
+    j = np.array([0, 0, 1, 1, 2, 2, 3, 4, 5, 5], np.int32)
+    ri, rj, nr, nc, nd, ne = gf2.dedup_lines(i, j, 40, 10, right=False)
+    assert (nd, ne) == (0, 0) and (nr, nc) == (40, 10)
+    assert ri is i and rj is j   # same arrays, not copies
+
+    x = np.ones(len(i), np.uint32)
+    M = mmio.COOMatrix(40, 10, len(i), i, j, x, 2)
+    a = BlockLanczosGF2(M, n=32, check_invariants=False).solve(stop_after=3)
+    b = BlockLanczosGF2(M, n=32, check_invariants=False,
+                        dedup=False).solve(stop_after=3)
+    np.testing.assert_array_equal(a.kernel, b.kernel)
+
+
+def test_dedup_all_empty_operator_passthrough():
+    """Zero odd entries: nothing cancels, exact passthrough reporting
+    (0, 0) — not n_empty=dim with no compaction (round-4 advisor edge)."""
+    i = np.array([], np.int32)
+    j = np.array([], np.int32)
+    ri, rj, nr, nc, nd, ne = gf2.dedup_lines(i, j, 8, 6, right=True)
+    assert (nd, ne) == (0, 0) and (nr, nc) == (8, 6)
+
+
+def test_dedup_compacts_empties_with_duplicates():
+    """When duplicates DO exist, empty lines are compacted away in the
+    same pass and both counts report what was actually dropped."""
+    # right=True dedups rows: rows 0,1 identical; row 2 distinct; rows 3,4
+    # empty; 5 rows total -> keep 2, drop 1 dup + 2 empty
+    i = np.array([0, 0, 1, 1, 2], np.int32)
+    j = np.array([0, 3, 0, 3, 1], np.int32)
+    ri, rj, nr, nc, nd, ne = gf2.dedup_lines(i, j, 5, 4, right=True)
+    assert (nd, ne) == (1, 2)
+    assert nr == 2 and nc == 4
+    assert set(ri.tolist()) == {0, 1} and len(ri) == 3

@@ -20,12 +20,14 @@ def spmv_oracle(p, M, X):
 
 def test_salvage_known_p2_breakdown():
     """The seed-9 p=2 n=32 right-kernel instance fails the final check for
-    BOTH this framework and the reference; salvage recovers verified
-    kernel vectors from the same block."""
+    BOTH this framework (with the reference's verbatim operator,
+    dedup=False) and the reference; salvage recovers verified kernel
+    vectors from the same block."""
     i, j, x = random_sparse(64, 96, 5, seed=9)
     M = mmio.COOMatrix(64, 96, len(x), i.astype(np.int32), j.astype(np.int32),
                        (x % 2).astype(np.uint32), 2)
-    res = BlockLanczosGF2(M, n=32, right=True, check_invariants=False).solve()
+    res = BlockLanczosGF2(M, n=32, right=True, check_invariants=False,
+                          dedup=False).solve()
     assert res.product_zero is False and res.vtM is not None  # the breakdown
     got = salvage_kernel(res.kernel, res.vtM, 2)
     assert got.shape[1] > 0
@@ -34,6 +36,24 @@ def test_salvage_known_p2_breakdown():
     Mt = mmio.COOMatrix(M.ncols, M.nrows, M.nnz, M.j, M.i, M.x, 2)
     y = spmv_oracle(2, Mt, got)
     assert (y == 0).all() and (got != 0).any()
+
+
+def test_dedup_cures_known_p2_breakdown():
+    """The same seed-9 instance under the default dedup=True: duplicate
+    lines are dropped, rank(A) is restored, and the solve CONVERGES with a
+    full verified kernel block — no salvage needed.  This is the
+    production contract that replaces the reference's KO (PARITY.md
+    'GF(2) dedup')."""
+    i, j, x = random_sparse(64, 96, 5, seed=9)
+    M = mmio.COOMatrix(64, 96, len(x), i.astype(np.int32), j.astype(np.int32),
+                       (x % 2).astype(np.uint32), 2)
+    solver = BlockLanczosGF2(M, n=32, right=True, check_invariants=False)
+    assert solver.dedup_dropped[0] > 0  # duplicates actually exist here
+    res = solver.solve()
+    assert res.product_zero is True and res.v_nonzero is True
+    Mt = mmio.COOMatrix(M.ncols, M.nrows, M.nnz, M.j, M.i, M.x, 2)
+    y = spmv_oracle(2, Mt, res.kernel)
+    assert (y == 0).all() and (res.kernel != 0).any()
 
 
 def test_salvage_converged_block_is_identity():

@@ -170,29 +170,48 @@ def test_skewed_right_kernel_parity():
     np.testing.assert_array_equal(res.kernel, ref.kernel)
 
 
+def _structured_instance(tmp_path):
+    """Downsized structured instance (same generator + alpha as
+    benchmarks/gen_structured.py, 250x smaller, Zipf weights transposed
+    onto the rows — the left-kernel dimension); returns the .mtx path."""
+    from block_lanczos_tpu.utils import mmio as mm
+    i, j, x = random_sparse_skewed(3008, 4000, 8, seed=9, alpha=1.2)
+    order = np.lexsort((i, j))
+    mtx = str(tmp_path / "structured.mtx")
+    mm.write_coo_mtx(mtx, 4000, 3008, j[order], i[order], x[order])
+    return mtx
+
+
+def _run_cli(mtx, out, *extra):
+    import os as _os
+    import subprocess
+    import sys as _sys
+    env = {**_os.environ, "JAX_PLATFORMS": "cpu",
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    return subprocess.run(
+        [_sys.executable, "-m", "block_lanczos_tpu.utils.cli",
+         "--matrix", mtx, "--prime", "2", "--n", "32",
+         "--devices", "8", "--output-file", out, "--no-checks", *extra],
+        cwd=repo, capture_output=True, text=True, env=env, timeout=600)
+
+
 def test_structured_instance_cli_end_to_end(tmp_path):
     """CI-scale golden for the structured-instance class the chip bench
     targets (benchmarks/gen_structured.py: Zipf popularity on the kernel
     dimension, GF(2), wide blocking): downsized instance through the full
     CLI mesh solve with the balanced partitioner engaged, byte-identical
     to the sequential C reference — INCLUDING the final-check outcome.
+    Byte-parity requires the reference's verbatim operator, so the solve
+    runs under --no-dedup (PARITY.md 'GF(2) dedup' states the contract).
     At n=32 this instance class hits an inherent block-Lanczos breakdown
     (npiv == 0 before convergence); the reference KOs at the same
     iteration and writes the same block, so byte-parity (not checker
-    success) is the oracle.  --salvage exists for recovering the verified
-    columns in production (the chip queue uses it on skew1Mx750k)."""
+    success) is the oracle."""
     import subprocess
-    import sys as _sys
     from test_reference_fuzz import _reference_binary
-    from block_lanczos_tpu.utils import mmio as mm
 
-    # same generator + alpha as gen_structured.py, 250x smaller, with the
-    # Zipf weights transposed onto the rows (the left-kernel dimension)
-    i, j, x = random_sparse_skewed(3008, 4000, 8, seed=9, alpha=1.2)
-    order = np.lexsort((i, j))
-    mtx = str(tmp_path / "structured.mtx")
-    mm.write_coo_mtx(mtx, 4000, 3008, j[order], i[order], x[order])
-
+    mtx = _structured_instance(tmp_path)
     binary = _reference_binary()
     if binary is None:
         pytest.skip("reference sources/binary unavailable")
@@ -202,17 +221,8 @@ def test_structured_instance_cli_end_to_end(tmp_path):
                        capture_output=True, text=True, timeout=600)
     assert r.returncode == 0
 
-    import os as _os
     out = str(tmp_path / "kernel.mtx")
-    env = {**_os.environ, "JAX_PLATFORMS": "cpu",
-           "XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
-    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-    r2 = subprocess.run([_sys.executable, "-m", "block_lanczos_tpu.utils.cli",
-                         "--matrix", mtx, "--prime", "2", "--n", "32",
-                         "--devices", "8", "--output-file", out,
-                         "--no-checks"],
-                        cwd=repo, capture_output=True, text=True, env=env,
-                        timeout=600)
+    r2 = _run_cli(mtx, out, "--no-dedup")
     assert r2.returncode == 0, r2.stdout[-500:] + r2.stderr[-500:]
     # the structured class engages the balanced partitioner
     assert "(balanced)" in r2.stdout
@@ -221,6 +231,20 @@ def test_structured_instance_cli_end_to_end(tmp_path):
     with open(out, "rb") as f:
         got = f.read()
     assert got == ref
+
+
+def test_structured_instance_cli_dedup_production(tmp_path):
+    """The SAME structured instance under the default production contract
+    (dedup on, --salvage): where the reference KOs with an unusable block,
+    the CLI produces kernel vectors that pass the independent checker.
+    This is the twin of the byte-parity golden above."""
+    from block_lanczos_tpu.utils import checker
+
+    mtx = _structured_instance(tmp_path)
+    out = str(tmp_path / "kernel_dedup.mtx")
+    r = _run_cli(mtx, out, "--salvage")
+    assert r.returncode == 0, r.stdout[-500:] + r.stderr[-500:]
+    assert checker.check_kernel_file(mtx, out, 2) is True
 
 
 def test_lpt_snake_deal_bounds_and_parity(monkeypatch):
