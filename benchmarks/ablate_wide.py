@@ -111,13 +111,31 @@ def main():
         return walk(op, xv, product,
                     lambda a, _o: gw.limb_combine(f, a))
 
-    variants = {"real": real_apply, "xor": xor_apply,
-                "nogather": nogather_apply, "deferred": deferred_apply}
+    def banded_apply(op, xv):
+        return wo.apply_wide(f, op, xv)
+
+    # the round-5 traffic experiment: input banding at the wide (8 B/elem)
+    # table policy — expected to cut the dominant gather cost (~79% of the
+    # iteration per the nogather floor) by keeping each slab walk's gather
+    # slice inside the measured ~1.6 MB staging budget
+    first_banded = wo.make_wide_op_auto(f, M.j, M.i, x_obj, M.ncols,
+                                        M.nrows, n=n)
+    second_banded = wo.make_wide_op_auto(f, M.i, M.j, x_obj, M.nrows,
+                                         M.ncols, n=n)
+    nb = (len(first_banded.bounds)
+          if isinstance(first_banded, wo.WideBandedOp) else 1)
+    print(f"banded variant: first={nb} bands", file=sys.stderr)
+
+    variants = {"real": (first, second, real_apply),
+                "xor": (first, second, xor_apply),
+                "nogather": (first, second, nogather_apply),
+                "deferred": (first, second, deferred_apply),
+                "banded": (first_banded, second_banded, banded_apply)}
     rng = np.random.default_rng(0)
     v0 = gw.np_pair(rng.integers(0, p, (args.nrows, n),
                                  dtype=np.uint64).astype(object))
     results = {}
-    for name, apply_fn in variants.items():
+    for name, (first_v, second_v, apply_fn) in variants.items():
         # ops ride as pytree ARGUMENTS: closing over device arrays bakes
         # them into the program as constants, which both blows the remote
         # compiler's HTTP body limit at scale (CLAUDE.md env fact 2) and
@@ -133,9 +151,9 @@ def main():
             return jax.lax.fori_loop(0, iters, one_round, v)
 
         v = jnp.asarray(v0)
-        np.asarray(run(first, second, v, 2))  # compile + warm
+        np.asarray(run(first_v, second_v, v, 2))  # compile + warm
         t0 = time.perf_counter()
-        out = run(first, second, v, args.iters)
+        out = run(first_v, second_v, v, args.iters)
         np.asarray(out)
         dt = (time.perf_counter() - t0) / args.iters
         results[name] = dt
@@ -147,7 +165,8 @@ def main():
         "summary": {k: round(v / base, 3) for k, v in results.items()},
         "memory_floor_frac": round(results["xor"] / base, 3),
         "compute_floor_frac": round(results["nogather"] / base, 3),
-        "deferred_speedup": round(base / results["deferred"], 3)}))
+        "deferred_speedup": round(base / results["deferred"], 3),
+        "banded_speedup": round(base / results["banded"], 3)}))
 
 
 if __name__ == "__main__":

@@ -63,8 +63,8 @@ def check_invariants_device(f: GFpWide, vtAv, vtAAv, winv, d):
 
 def iteration_step(f: GFpWide, mp_rows: int, np_rows: int, check: bool,
                    first_op, second_op, v, p_blk):
-    tmp = wo.spmv_wide(f, first_op, v, out_rows=mp_rows)
-    Av = wo.spmv_wide(f, second_op, tmp, out_rows=np_rows)
+    tmp = wo.apply_wide(f, first_op, v, out_rows=mp_rows)
+    Av = wo.apply_wide(f, second_op, tmp, out_rows=np_rows)
     n = v.shape[1]
     grams = wo.gram_mod(f, jnp.concatenate([v, Av], axis=1), Av)
     vtAv, vtAAv = grams[:n], grams[n:]
@@ -116,10 +116,13 @@ class BlockLanczosWide:
         self.right = bool(right)
         self.check_invariants = check_invariants
         x_obj = np.asarray(M.x, dtype=object)
-        fwd = wo.make_wide_hybrid_op(self.f, M.i, M.j, x_obj,
-                                     M.nrows, M.ncols)
-        bwd = wo.make_wide_hybrid_op(self.f, M.j, M.i, x_obj,
-                                     M.ncols, M.nrows)
+        # input banding engages per direction when the (in_dim, n) PAIR
+        # gather table exceeds the measured staging budget — the wide
+        # twin of SpMatrix.from_coo's policy (ops/spmm.py:160-170)
+        fwd = wo.make_wide_op_auto(self.f, M.i, M.j, x_obj,
+                                   M.nrows, M.ncols, n=self.n)
+        bwd = wo.make_wide_op_auto(self.f, M.j, M.i, x_obj,
+                                   M.ncols, M.nrows, n=self.n)
         self.nnz = M.nnz
         self.n_eff = M.ncols if right else M.nrows
         self.m_eff = M.nrows if right else M.ncols

@@ -368,6 +368,112 @@ def spmv_wide(f: GFpWide, op: WideHybridOp, x, out_rows: int | None = None):
     return y
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class WideBandedOp:
+    """Input-banded wide operator: part b gathers from x rows [lo_b, hi_b).
+
+    Same measured rationale as the narrow BandedOp (ops/spmm.py): gathers
+    from a table above ~3.2 MB cost ~2x per row vs a <= ~1.6 MB slice on
+    the bench chip, and the WIDE x-table is (in_dim, n, 2) uint32 — twice
+    the bytes per element — so it blows the staging budget at HALF the
+    narrow in_dim.  The round-4 chip ablation pinned ~79% of the wide
+    iteration on the gather (nogather = 0.21x real), which makes banding
+    the highest-leverage traffic lever for this field.  Bit-exact with the
+    monolithic layout: mod-p sums are associative.
+    """
+    out_dim: int
+    in_dim: int
+    nnz: int
+    ell: int               # max part ell (observability; parts carry their own)
+    bounds: tuple          # ((lo, hi), ...) static band bounds
+    parts: tuple           # tuple[WideHybridOp, ...]
+
+    def tree_flatten(self):
+        return ((self.parts,), (self.out_dim, self.in_dim, self.nnz,
+                                self.ell, self.bounds))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        (parts,) = children
+        out_dim, in_dim, nnz, ell, bounds = aux
+        return cls(out_dim, in_dim, nnz, ell, bounds, tuple(parts))
+
+
+# Rows-per-band floor: the narrow guard (80k) was measured against per-band
+# slab padding whose cost scales with SLOT BYTES; wide slots are 2x the
+# bytes, so the equal-overhead floor sits at half the rows.
+BAND_MIN_ROWS_WIDE = 40_000
+
+
+def wide_band_count(in_dim: int, n: int) -> int:
+    """Bands for an (in_dim, n, 2) uint32 gather table — the narrow
+    band_count policy evaluated at 8 bytes/element (ops/spmm.py:648)."""
+    from block_lanczos_tpu.ops.spmm import (BAND_MAX_PARTS, BAND_MIN_PARTS,
+                                            BAND_TABLE_BYTES,
+                                            BAND_TARGET_BYTES)
+    table = in_dim * n * 8
+    if table <= BAND_TABLE_BYTES:
+        return 1
+    if BAND_TARGET_BYTES // (n * 8) < BAND_MIN_ROWS_WIDE:
+        return 1
+    nb = max(BAND_MIN_PARTS, -(-table // BAND_TARGET_BYTES))
+    if nb > BAND_MAX_PARTS:
+        return 1
+    return nb
+
+
+def make_wide_banded_op(f: GFpWide, out_idx, in_idx, vals, out_dim: int,
+                        in_dim: int, nbands: int,
+                        chunk: int = DEFAULT_CHUNK) -> WideBandedOp:
+    """Split the input dimension into nbands bands, one WideHybridOp each
+    (cut points shared with the narrow path via spmm.band_bounds)."""
+    from block_lanczos_tpu.ops.spmm import band_bounds
+    out_idx = np.asarray(out_idx, np.int64)
+    in_idx = np.asarray(in_idx, np.int64)
+    vals = np.asarray(vals, dtype=object)
+    bounds, parts = [], []
+    for lo, hi in band_bounds(in_dim, nbands):
+        sel = (in_idx >= lo) & (in_idx < hi)
+        parts.append(make_wide_hybrid_op(
+            f, out_idx[sel], (in_idx[sel] - lo).astype(np.int32), vals[sel],
+            out_dim, hi - lo, chunk=chunk))
+        bounds.append((lo, hi))
+    return WideBandedOp(out_dim=out_dim, in_dim=in_dim, nnz=len(vals),
+                        ell=max(p.ell for p in parts),
+                        bounds=tuple(bounds), parts=tuple(parts))
+
+
+def spmv_wide_banded(f: GFpWide, op: WideBandedOp, x,
+                     out_rows: int | None = None):
+    """y = op * x over the input bands; each part gathers from its slice."""
+    y = None
+    for (lo, hi), part in zip(op.bounds, op.parts):
+        yb = spmv_wide(f, part, jax.lax.slice_in_dim(x, lo, hi),
+                       out_rows=out_rows)
+        y = yb if y is None else gw.modadd(f, y, yb)
+    return y
+
+
+def apply_wide(f: GFpWide, op, x, out_rows: int | None = None):
+    """Dispatch: y = op * x for monolithic or banded wide layouts."""
+    if isinstance(op, WideBandedOp):
+        return spmv_wide_banded(f, op, x, out_rows)
+    return spmv_wide(f, op, x, out_rows)
+
+
+def make_wide_op_auto(f: GFpWide, out_idx, in_idx, vals, out_dim: int,
+                      in_dim: int, n: int, chunk: int = DEFAULT_CHUNK):
+    """Policy-selected wide operator: banded when the (in_dim, n) pair
+    gather table exceeds the measured staging budget, else monolithic."""
+    nb = wide_band_count(in_dim, n)
+    if nb > 1:
+        return make_wide_banded_op(f, out_idx, in_idx, vals, out_dim,
+                                   in_dim, nb, chunk=chunk)
+    return make_wide_hybrid_op(f, out_idx, in_idx, vals, out_dim, in_dim,
+                               chunk=chunk)
+
+
 def spmv_wide_oracle(p: int, nrows: int, i, j, x_obj, v_obj):
     """Host oracle: y[i] += x * v[j] mod p with Python-int arithmetic."""
     n = v_obj.shape[1]

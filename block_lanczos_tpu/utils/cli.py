@@ -67,6 +67,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="on a failed final check, extract the verified "
                          "kernel combinations from the partial block "
                          "(the reference just reports KO)")
+    ap.add_argument("--salvage-restarts", type=int, default=0, metavar="K",
+                    help="with --salvage: if the salvaged yield is short of "
+                         "n, re-solve up to K times with fresh random blocks "
+                         "(the xoshiro stream continues) and combine the "
+                         "exactly-independent verified vectors across runs")
     ap.add_argument("--no-dedup", action="store_true",
                     help="GF(2) only: keep duplicate/empty operator lines "
                          "verbatim like the reference (default: drop "
@@ -313,12 +318,22 @@ def main(argv=None) -> int:
         print()
     kernel, n_cols = res.kernel, args.n
     if args.salvage and res.product_zero is False and res.vtM is not None:
-        from block_lanczos_tpu.utils.salvage import salvage_kernel
-        salvaged = salvage_kernel(res.kernel, res.vtM, args.prime)
-        if is_root:
-            print(f"Salvage: recovered {salvaged.shape[1]} / {args.n} "
-                  "verified kernel vectors from the partially-converged "
-                  "block")
+        from block_lanczos_tpu.utils.salvage import (salvage_kernel,
+                                                     salvage_with_restarts)
+        if args.salvage_restarts > 0:
+            # restart solves skip the checkpoint machinery: each is a
+            # fresh independent block, not a resumable recurrence
+            salvaged = salvage_with_restarts(
+                lambda: solver.solve(stop_after=args.stop_after,
+                                     verbose=is_root),
+                res, args.prime, args.n, restarts=args.salvage_restarts,
+                verbose=is_root)
+        else:
+            salvaged = salvage_kernel(res.kernel, res.vtM, args.prime)
+            if is_root:
+                print(f"Salvage: recovered {salvaged.shape[1]} / {args.n} "
+                      "verified kernel vectors from the partially-converged "
+                      "block")
         if salvaged.shape[1] == 0:
             print("Salvage found no kernel vectors", file=sys.stderr)
             return 1

@@ -271,3 +271,52 @@ def test_wide_checker_field_primitives_vs_oracle():
         got = f.mulmod(a, b).astype(object)
         exp = (a.astype(object) * b.astype(object)) % p
         assert (got == exp).all()
+
+
+def test_spmv_wide_banded_bit_exact():
+    """Banded wide layout == monolithic wide layout == oracle, including
+    empty bands and solver end-to-end iterates (banding is layout-only;
+    mod-p sums are associative)."""
+    p = P61
+    f = GFpWide.make(p)
+    rng = np.random.default_rng(2)
+    M = make_matrix(p, 80, 64, 4, seed=11, wide_vals=True)
+    x_obj = ((rng.integers(0, 1 << 32, size=(64, 3)).astype(object) << 30)
+             | rng.integers(0, 1 << 30, size=(64, 3)).astype(object)) % p
+    xd = jnp.asarray(gw.np_pair(x_obj))
+    mono = wo.make_wide_hybrid_op(f, M.i, M.j, np.asarray(M.x, dtype=object),
+                                  M.nrows, M.ncols)
+    for nb in (2, 3, 5):
+        band = wo.make_wide_banded_op(f, M.i, M.j,
+                                      np.asarray(M.x, dtype=object),
+                                      M.nrows, M.ncols, nb)
+        ya = np.asarray(wo.apply_wide(f, mono, xd))
+        yb = np.asarray(wo.apply_wide(f, band, xd))
+        np.testing.assert_array_equal(ya, yb)
+
+    # solver end-to-end with the banded layout forced in both directions
+    solver = BlockLanczosWide(M, n=4, check_invariants=True)
+    from block_lanczos_tpu.ops.spmm import band_bounds  # cut-point parity
+    assert len(band_bounds(M.ncols, 3)) == 3
+    ref = solver.solve(stop_after=4)
+    forced = BlockLanczosWide(M, n=4, check_invariants=True)
+    forced.first_op = wo.make_wide_banded_op(
+        f, M.j, M.i, np.asarray(M.x, dtype=object), M.ncols, M.nrows, 3)
+    forced.second_op = wo.make_wide_banded_op(
+        f, M.i, M.j, np.asarray(M.x, dtype=object), M.nrows, M.ncols, 2)
+    got = forced.solve(stop_after=4)
+    np.testing.assert_array_equal(gw.np_unpair(np.asarray(got.kernel)),
+                                  gw.np_unpair(np.asarray(ref.kernel)))
+
+
+def test_wide_band_policy():
+    """Policy: engages exactly when the PAIR table exceeds the budget and
+    the bands stay above the wide rows floor."""
+    # bench config forward direction: 200k x n=4 pairs = 6.4 MB -> banded
+    assert wo.wide_band_count(200_000, 4) > 1
+    # bench config backward: 300k x 4 x 8 = 9.6 MB -> banded
+    assert wo.wide_band_count(300_000, 4) > 1
+    # small table: monolithic
+    assert wo.wide_band_count(40_000, 4) == 1
+    # huge n: target band thinner than the wide rows floor -> monolithic
+    assert wo.wide_band_count(3_000_000, 32) == 1
